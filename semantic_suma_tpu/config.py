@@ -1,0 +1,311 @@
+"""Typed configuration system for the TPU-native surfel SLAM engine.
+
+Replaces the reference's XML -> ``rv::ParameterList`` heterogenous store
+(``/root/reference/src/rv/ParameterList.h``, ``/root/reference/config/default.xml``)
+with frozen dataclasses that are hashable (usable as jit static args) plus an
+XML loader that accepts the reference's config file format for drop-in parity.
+
+Defaults mirror ``/root/reference/config/default.xml:1-86``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import math
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, Iterator, List, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Sensor / range-image geometry (reference ``config/default.xml:7-14``)."""
+
+    width: int = 900
+    height: int = 64
+    fov_up: float = 3.0      # degrees above horizon
+    fov_down: float = -25.0  # degrees below horizon (negative)
+    min_depth: float = 2.0
+    max_depth: float = 75.0
+
+    @property
+    def fov(self) -> float:
+        return abs(self.fov_up) + abs(self.fov_down)
+
+    @property
+    def pixel_size(self) -> float:
+        # vertical angular extent of one pixel in radians; used for surfel radii
+        # (reference SurfelMap.cpp computes the same from fov/height).
+        return math.radians(self.fov) / self.height
+
+
+@dataclass(frozen=True)
+class IcpConfig:
+    """Projective ICP settings (reference ``config/default.xml:15-27``)."""
+
+    max_iterations: int = 33
+    stopping_threshold: float = 1e-4  # gradient / error-change epsilon
+    delta: float = 1e-4               # minimal parameter change
+    max_distance: float = 2.0         # gross-outlier distance gate (m)
+    max_angle: float = 30.0           # normal-compatibility gate (deg)
+    weighting: str = "huber"          # none | huber | turkey
+    factor: float = 0.5               # robust kernel width
+    initialize_identity: bool = False  # else constant-velocity init
+    cutoff_threshold: float = 10.0
+    # track-loss fallback (frame-to-frame recovery), reference default.xml:42-44
+    fallback_mode: bool = True
+    fallback_max_distance: float = 0.5
+    fallback_max_angle: float = 30.0
+    # thresholds on the pose-increment jump that triggers recovery
+    # (reference SurfelMapping.cpp:438-449)
+    fallback_translation_jump: float = 0.4
+    fallback_rotation_jump: float = 0.1
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Surfel map / fusion settings (reference ``config/default.xml:50-67``)."""
+
+    surfel_capacity: int = 1 << 22      # reference: 2048^2 (SurfelMap.h:87)
+    active_capacity: int = 1 << 19      # surfels rendered/updated per scan
+    max_poses: int = 10000              # pose texture size (SurfelMap.h:205)
+    min_radius: float = 0.03
+    max_radius: float = 1.00
+    max_angle: float = 90.0             # creation view-angle gate (deg)
+    max_distance: float = 0.2           # association distance-to-plane gate (m)
+    map_max_angle: float = 45.0         # association normal-angle gate (deg)
+    unstable_age: int = 3
+    confidence_mode: int = 3            # 0 none, 1 angle, 2 distance, 3 both
+    confidence_threshold: float = 0.0
+    p_stable: float = 0.6
+    p_prior: float = 0.5
+    p_unstable: float = 0.1             # hard-coded in SurfelMapping.cpp:108
+    sigma_angle: float = 1.0
+    sigma_distance: float = 1.0
+    use_stability: bool = True
+    update_always: bool = False
+    weighting_scheme: int = 0           # 0 exponential, 1 cumulative, 2 weighted
+    averaging_scheme: int = 0
+    max_weight: float = 20.0
+    stability_upper_bound: float = 20.0  # update_surfels.vert:142 constant
+    # submap window (reference default.xml:65-67); the active-set radius is
+    # (2*dimension+1)*extent/2 around the vehicle.
+    submap_dimension: int = 4
+    submap_extent: float = 10.0
+    # confidence-threshold warmup length (SurfelMapping.h time_init)
+    time_init: int = 30
+
+    @property
+    def log_prior(self) -> float:
+        return math.log(self.p_prior / (1.0 - self.p_prior))
+
+    @property
+    def log_unstable(self) -> float:
+        return math.log(self.p_unstable / (1.0 - self.p_unstable))
+
+    @property
+    def active_radius(self) -> float:
+        return (2 * self.submap_dimension + 1) * self.submap_extent / 2.0
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    """Loop closure settings (reference ``config/default.xml:69-77``)."""
+
+    enabled: bool = True
+    residual_threshold: float = 1.15
+    valid_threshold: float = 0.95
+    outlier_threshold: float = 1.1
+    search_distance: float = 50.0
+    min_verifications: int = 5
+    min_trajectory_distance: float = 100.0  # SurfelMapping.h default
+    delta_timestamp: int = 100              # minimum age of candidate poses
+    max_loop_closure_distance: float = 8.0  # compose render gate
+    compose_rendering: bool = True
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    """Vertex/normal map generation (reference Preprocessing.cpp)."""
+
+    use_filtered_vertexmap: bool = False
+    bilateral_sigma_space: float = 0.5
+    bilateral_sigma_range: float = 2.5
+    averaging_scheme: int = 0  # 0: z-buffer nearest, 1: blend average
+    semantic_erosion: bool = True
+    flood_fill: bool = True
+
+
+@dataclass(frozen=True)
+class SemanticConfig:
+    """Semantic segmentation settings."""
+
+    enabled: bool = True
+    num_classes: int = 20
+    model_path: str = ""
+    # movable SemanticKITTI classes penalized as potentially dynamic
+    # (reference src/shader/color_map.glsl + gen_vertexmap.vert:94-102)
+    prior_movable_penalty: float = 0.5  # gen_surfels.geom:140
+    remove_movable_on_init: bool = True
+    init_scans: int = 10  # gen_vertexmap drops movable points for first scans
+
+
+@dataclass(frozen=True)
+class SumaConfig:
+    """Top-level configuration bundle."""
+
+    data: DataConfig = field(default_factory=DataConfig)
+    model: DataConfig = field(default_factory=DataConfig)  # rendered model view
+    icp: IcpConfig = field(default_factory=IcpConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    loop: LoopClosureConfig = field(default_factory=LoopClosureConfig)
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+    semantic: SemanticConfig = field(default_factory=SemanticConfig)
+    approach: str = "frame-to-model"  # or "frame-to-frame"
+    odometry_info_translation: float = 1.0
+    odometry_info_rotation: float = 1.0
+
+    def replace(self, **kw) -> "SumaConfig":
+        return replace(self, **kw)
+
+    def small(self) -> "SumaConfig":
+        """A downsized config for fast tests."""
+        d = replace(self.data, width=180, height=32)
+        return replace(
+            self,
+            data=d,
+            model=d,
+            map=replace(self.map, surfel_capacity=1 << 16, active_capacity=1 << 15,
+                        max_poses=512),
+        )
+
+
+# ---------------------------------------------------------------------------
+# XML compatibility layer
+# ---------------------------------------------------------------------------
+
+_XML_CASTS = {
+    "integer": int,
+    "float": float,
+    "string": str,
+    "boolean": lambda s: s.strip().lower() == "true",
+}
+
+# reference XML parameter name -> (section, field) in SumaConfig
+_XML_MAP: Dict[str, Tuple[str, str]] = {
+    "data_width": ("data", "width"),
+    "data_height": ("data", "height"),
+    "data_fov_up": ("data", "fov_up"),
+    "data_fov_down": ("data", "fov_down"),
+    "max_depth": ("data", "max_depth"),
+    "min_depth": ("data", "min_depth"),
+    "model_width": ("model", "width"),
+    "model_height": ("model", "height"),
+    "model_fov_up": ("model", "fov_up"),
+    "model_fov_down": ("model", "fov_down"),
+    "model_max_depth": ("model", "max_depth"),
+    "model_min_depth": ("model", "min_depth"),
+    "max iterations": ("icp", "max_iterations"),
+    "stopping threshold": ("icp", "stopping_threshold"),
+    "delta": ("icp", "delta"),
+    "icp-max-distance": ("icp", "max_distance"),
+    "icp-max-angle": ("icp", "max_angle"),
+    "weighting": ("icp", "weighting"),
+    "factor": ("icp", "factor"),
+    "initialize_identity": ("icp", "initialize_identity"),
+    "cutoff_threshold": ("icp", "cutoff_threshold"),
+    "fallback_mode": ("icp", "fallback_mode"),
+    "fallback-max-distance": ("icp", "fallback_max_distance"),
+    "fallback-max-angle": ("icp", "fallback_max_angle"),
+    "min_radius": ("map", "min_radius"),
+    "max_radius": ("map", "max_radius"),
+    "max_angle": ("map", "max_angle"),
+    "map-max-distance": ("map", "max_distance"),
+    "map-max-angle": ("map", "map_max_angle"),
+    "unstable_age": ("map", "unstable_age"),
+    "confidence_mode": ("map", "confidence_mode"),
+    "confidence_threshold": ("map", "confidence_threshold"),
+    "p_stable": ("map", "p_stable"),
+    "p_prior": ("map", "p_prior"),
+    "sigma_angle": ("map", "sigma_angle"),
+    "sigma_distance": ("map", "sigma_distance"),
+    "use_stability": ("map", "use_stability"),
+    "update_always": ("map", "update_always"),
+    "weighting_scheme": ("map", "weighting_scheme"),
+    "averaging_scheme": ("map", "averaging_scheme"),
+    "submap-dimension": ("map", "submap_dimension"),
+    "submap-extent": ("map", "submap_extent"),
+    "close-loops": ("loop", "enabled"),
+    "loop-residual-threshold": ("loop", "residual_threshold"),
+    "loop-valid-threshold": ("loop", "valid_threshold"),
+    "loop-outlier-threshold": ("loop", "outlier_threshold"),
+    "loop-search-distance": ("loop", "search_distance"),
+    "loop-min-verifications": ("loop", "min_verifications"),
+    "loop-min-trajectory-distance": ("loop", "min_trajectory_distance"),
+    "max_loop_closure_distance": ("loop", "max_loop_closure_distance"),
+    "compose_rendering": ("loop", "compose_rendering"),
+    "use_filtered_vertexmap": ("preprocess", "use_filtered_vertexmap"),
+    "bilateral_sigma_range": ("preprocess", "bilateral_sigma_range"),
+    "model_path": ("semantic", "model_path"),
+    "approach": ("", "approach"),
+}
+
+
+def parse_parameter_xml(path: str) -> Dict[str, Any]:
+    """Parse the reference's ``<config><param name=.. type=..>value</param></config>``
+    format (the role of ``rv::parseXmlFile`` + yxml in the reference) into a dict."""
+    root = ET.parse(path).getroot()
+    out: Dict[str, Any] = {}
+    for node in root.iter("param"):
+        name = node.attrib["name"]
+        typ = node.attrib.get("type", "string")
+        cast = _XML_CASTS.get(typ, str)
+        out[name] = cast(node.text or "")
+    return out
+
+
+def config_from_xml(path: str, base: SumaConfig | None = None) -> SumaConfig:
+    """Load a SumaConfig from a reference-format XML file."""
+    params = parse_parameter_xml(path)
+    cfg = base or SumaConfig()
+    sections: Dict[str, Dict[str, Any]] = {}
+    top: Dict[str, Any] = {}
+    for name, value in params.items():
+        if name not in _XML_MAP:
+            continue
+        section, fname = _XML_MAP[name]
+        if section == "":
+            top[fname] = value
+        else:
+            sections.setdefault(section, {})[fname] = value
+    for section, kv in sections.items():
+        sub = getattr(cfg, section)
+        cfg = replace(cfg, **{section: replace(sub, **kv)})
+    if top:
+        cfg = replace(cfg, **top)
+    return cfg
+
+
+def sweep(cfg: SumaConfig, grid: Dict[str, List[Any]]) -> Iterator[SumaConfig]:
+    """Parameter-sweep iterator over dotted field paths, replacing the
+    reference's ``RangeParameter``/``ParameterListIterator`` grid search
+    (``/root/reference/src/rv/ParameterListIterator.h``).
+
+    Example: ``sweep(cfg, {"icp.factor": [0.25, 0.5], "map.p_stable": [0.6]})``
+    """
+    keys = list(grid.keys())
+    for combo in itertools.product(*(grid[k] for k in keys)):
+        out = cfg
+        for key, value in zip(keys, combo):
+            parts = key.split(".")
+            if len(parts) == 1:
+                out = replace(out, **{parts[0]: value})
+            else:
+                section = getattr(out, parts[0])
+                out = replace(out, **{parts[0]: replace(section, **{parts[1]: value})})
+        yield out
+
+
+def asdict(cfg: SumaConfig) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
