@@ -119,7 +119,7 @@ class LoopClosureConfig:
     outlier_threshold: float = 1.1
     search_distance: float = 50.0
     min_verifications: int = 5
-    min_trajectory_distance: float = 100.0  # SurfelMapping.h default
+    min_trajectory_distance: float = 200.0  # SurfelMapping.h:222 default
     delta_timestamp: int = 100              # minimum age of candidate poses
     max_loop_closure_distance: float = 8.0  # compose render gate
     compose_rendering: bool = True

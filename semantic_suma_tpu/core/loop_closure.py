@@ -1,0 +1,301 @@
+"""Loop-closure detection, verification, and pose-graph integration.
+
+Host-side state machine mirroring ``SurfelMapping::checkLoopClosure`` /
+``integrateLoopClosures`` (``/root/reference/src/core/SurfelMapping.cpp:
+212-253,527-795``), driving jitted device subroutines (inactive-map render,
+ICP against the old map, composed-view residual evaluation):
+
+* Phase A — verify a pending candidate every scan: ICP against the old
+  (inactive) map rendered at the tracked old-frame pose; gates
+  valid_ratio > 0.2, outlier_ratio < 0.85, |log(inc_new)-log(inc_old)| < 0.1;
+  then compare composed-view residual against the odometry result.
+* Promotion — `min_verifications + 1` consecutive successes make the chain
+  verified; verified candidates become pose-graph BetweenFactor edges.
+* Optimization — Gauss-Newton+PCG pose graph solve (here synchronous — at
+  KITTI sizes the TPU solve is milliseconds, where the reference needed an
+  async GTSAM thread); poses are rebased and pushed into the surfel map
+  (only the pose table is rewritten, SurfelMap::updatePoses semantics).
+* Phase C — search a new candidate when idle: nearest old pose within
+  search_distance with trajectory distance > min_trajectory_distance; three
+  initializations {O, R(O), half-translation O} (SurfelMapping.cpp:679-691).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SumaConfig
+from ..ops import icp as icp_ops
+from ..utils import lie
+from . import surfel_map as sm
+from .posegraph import Posegraph
+
+
+@dataclass
+class LoopClosureCandidate:
+    frm: int
+    to: int
+    rel_pose: np.ndarray  # pose_old^-1 @ posegraph.pose(to)
+
+
+@dataclass
+class LoopCloser:
+    cfg: SumaConfig
+    posegraph: Posegraph = field(default_factory=Posegraph)
+    unverified: List[LoopClosureCandidate] = field(default_factory=list)
+    verified: List[LoopClosureCandidate] = field(default_factory=list)
+    already_verified: bool = False
+    time_without_loop: int = 0
+    loop_count: int = 0
+    pose_old: Optional[np.ndarray] = None       # current old-frame pose
+    last_pose_old: Optional[np.ndarray] = None
+    num_optimizations: int = 0
+    num_loop_closures: int = 0
+
+    def __post_init__(self):
+        self.posegraph.set_initial(0, np.eye(4))
+        info = np.ones(6, np.float32)
+        info[:3] *= self.cfg.odometry_info_translation ** -2 \
+            if self.cfg.odometry_info_translation else 1.0
+        self._info = info
+
+    # ------------------------------------------------------------------
+    def _ratios(self, stats: icp_ops.IcpStats):
+        inl = float(stats.inlier)
+        out = float(stats.outlier)
+        val = float(stats.valid)
+        inv = float(stats.invalid)
+        outlier_ratio = out / max(out + inl, 1.0)
+        valid_ratio = val / max(val + inv, 1.0)
+        residual = float(stats.error) / max(val, 1.0)
+        return valid_ratio, outlier_ratio, residual
+
+    def _render_old(self, slam, view_pose):
+        ts = slam.timestamp
+        return sm.render_maps(
+            slam.state.map, jnp.asarray(view_pose, jnp.float32),
+            self.cfg.model, self.cfg.map, slam.confidence_threshold(),
+            ts - self.cfg.loop.delta_timestamp, render_old=True)
+
+    def _composed_residual(self, slam, pose_old, pose_new):
+        comp = sm.render_composed(
+            slam.state.map, jnp.asarray(pose_old, jnp.float32),
+            jnp.asarray(pose_new, jnp.float32), self.cfg.model, self.cfg.map,
+            slam.confidence_threshold(),
+            slam.timestamp - self.cfg.loop.delta_timestamp)
+        stats = icp_ops.evaluate(jnp.eye(4, dtype=jnp.float32),
+                                 slam.state.last_maps, comp, self.cfg.icp,
+                                 self.cfg.model,
+                                 semantic=self.cfg.semantic.enabled)
+        return stats
+
+    def _closest_index(self, slam, query_pose) -> int:
+        """Nearest old pose within search radius with sufficient trajectory
+        separation (SurfelMapping::getClosestIndex)."""
+        ts = slam.timestamp - 1
+        lim = ts - self.cfg.loop.delta_timestamp
+        if lim < 0:
+            return -1
+        best, best_d = -1, self.cfg.loop.search_distance
+        tdist = slam.trajectory_distances
+        for j in range(lim, -1, -1):
+            d = float(np.linalg.norm(
+                np.asarray(query_pose)[:3, 3] - self.posegraph.pose(j)[:3, 3]))
+            sep = tdist[ts] - tdist[j]
+            if d < best_d and sep > self.cfg.loop.min_trajectory_distance:
+                best, best_d = j, d
+        return best
+
+    # ------------------------------------------------------------------
+    def on_scan(self, slam, info) -> dict:
+        """Called after each odometry step with the step's StepInfo."""
+        cfg = self.cfg.loop
+        ts = slam.timestamp - 1  # index of the scan just processed
+        stats: dict = {}
+
+        increment = np.asarray(info.increment)
+        pose = np.asarray(info.pose)
+
+        # odometry factor (SurfelMapping.cpp:462-467)
+        if ts == 0:
+            self.posegraph.set_initial(0, pose)
+            self.pose_old = pose.copy()
+            self.last_pose_old = pose.copy()
+            return {"loop-count": 0}
+        self.posegraph.set_initial(
+            ts, self.posegraph.pose(ts - 1) @ increment)
+        self.posegraph.add_edge(ts - 1, ts, increment, self._info)
+
+        # old-frame pose track: by default follows odometry
+        self.last_pose_old = self.pose_old
+        self.pose_old = pose.copy()
+
+        self.time_without_loop += 1
+
+        vr_new, or_new, res_new = self._ratios(info.stats)
+
+        # ---- phase A: verify pending candidates --------------------------
+        if self.unverified or self.already_verified:
+            old_maps = self._render_old(slam, self.last_pose_old)
+            res = icp_ops.gauss_newton(
+                slam.state.last_maps, old_maps,
+                jnp.asarray(slam.state.last_increment), self.cfg.icp,
+                self.cfg.model, semantic=self.cfg.semantic.enabled)
+            vr, orr, _ = self._ratios(res.stats)
+            inc_old = np.asarray(res.pose)
+            inc_diff = float(np.linalg.norm(
+                np.asarray(lie.se3_log(jnp.asarray(increment, jnp.float32)))
+                - np.asarray(lie.se3_log(jnp.asarray(inc_old, jnp.float32)))))
+            verified_this_scan = False
+            if vr > 0.2 and orr < 0.85 and inc_diff < 0.1:
+                pose_old_new = self.last_pose_old @ inc_old
+                cstats = self._composed_residual(slam, pose_old_new, pose)
+                _, _, res_old = self._ratios(cstats)
+                rel_error = res_old / max(res_new, 1e-12)
+                self.pose_old = pose_old_new
+                if rel_error < cfg.residual_threshold or \
+                        (res_old - res_new) < 0.1:
+                    self.time_without_loop = 0
+                    to = self._closest_index(slam, pose_old_new)
+                    if to > -1:
+                        cand = LoopClosureCandidate(
+                            frm=ts, to=to,
+                            rel_pose=np.linalg.inv(pose_old_new)
+                            @ self.posegraph.pose(to))
+                        (self.verified if self.already_verified
+                         else self.unverified).append(cand)
+                        verified_this_scan = True
+            stats["loop-verifying"] = verified_this_scan
+
+        # ---- promotion ---------------------------------------------------
+        if not self.already_verified and \
+                len(self.unverified) >= cfg.min_verifications + 1:
+            self.verified.extend(self.unverified)
+            self.unverified.clear()
+            self.already_verified = True
+
+        # ---- add verified edges ------------------------------------------
+        last_from = -1
+        for cand in self.verified:
+            if cand.frm != last_from:
+                last_from = cand.frm
+                self.loop_count += 1
+                self.num_loop_closures += 1
+            self.posegraph.add_edge(cand.frm, cand.to, cand.rel_pose,
+                                    self._info)
+        self.verified.clear()
+
+        # ---- optimize (synchronous) --------------------------------------
+        if (self.loop_count > 6) or \
+                (self.loop_count > 0 and self.time_without_loop > 3):
+            self._optimize_and_rebase(slam)
+
+        # ---- phase C: search a new candidate -----------------------------
+        if self.time_without_loop > 3:
+            self.unverified.clear()
+            self.already_verified = False
+            found = self._search_candidate(slam, info, vr_new, or_new, res_new)
+            stats["loop-candidate-found"] = found
+
+        stats["loop-count"] = self.loop_count
+        stats["loop-closures"] = self.num_loop_closures
+        return stats
+
+    # ------------------------------------------------------------------
+    def _search_candidate(self, slam, info, vr_new, or_new, res_new) -> bool:
+        cfg = self.cfg.loop
+        ts = slam.timestamp - 1
+        pose = np.asarray(info.pose)
+        to = self._closest_index(slam, pose)
+        if to < 0:
+            return False
+
+        pose_prior = self.posegraph.pose(to)
+        old_maps = self._render_old(slam, pose_prior)
+
+        # three initializations (SurfelMapping.cpp:679-691)
+        O = np.linalg.inv(pose_prior) @ pose
+        O[2, 3] = 0.0
+        rot_only = O.copy()
+        rot_only[:3, 3] = 0.0
+        half = O.copy()
+        half[0, 3] *= 0.5
+        half[1, 3] *= 0.5
+
+        best = None
+        for init in (O, rot_only, half):
+            res = icp_ops.gauss_newton(
+                slam.state.last_maps, old_maps,
+                jnp.asarray(init, jnp.float32), self.cfg.icp, self.cfg.model,
+                semantic=self.cfg.semantic.enabled)
+            vr, orr, _ = self._ratios(res.stats)
+            if not (vr > 0.2 and orr < 0.85):
+                continue
+            cand_pose = pose_prior @ np.asarray(res.pose)
+            cstats = self._composed_residual(slam, cand_pose, pose)
+            vr_old, or_old, res_old = self._ratios(cstats)
+            rel_valid = vr_old / max(vr_new, 1e-12)
+            rel_outlier = or_old / max(or_new, 1e-12)
+            rel_error = res_old / max(res_new, 1e-12)
+            if rel_valid >= cfg.valid_threshold and \
+                    rel_outlier < cfg.outlier_threshold:
+                if best is None or (res_old < best[0] and or_old < best[1]):
+                    accept = rel_error < cfg.residual_threshold or \
+                        (res_old - res_new) < 0.1
+                    if accept:
+                        best = (res_old, or_old, cand_pose)
+
+        if best is None:
+            return False
+        _, _, cand_pose = best
+        self.pose_old = cand_pose
+        self.unverified.append(LoopClosureCandidate(
+            frm=ts, to=to,
+            rel_pose=np.linalg.inv(cand_pose) @ self.posegraph.pose(to)))
+        return True
+
+    # ------------------------------------------------------------------
+    def _optimize_and_rebase(self, slam) -> None:
+        """Optimize the graph and rebase the live state (the synchronous
+        version of integrateLoopClosures, SurfelMapping.cpp:212-253)."""
+        ts = slam.timestamp - 1
+        before_pose = self.posegraph.pose(ts).copy()
+        self.posegraph.optimize()
+        self.num_optimizations += 1
+        self.loop_count = 0
+
+        difference = self.posegraph.pose(ts) @ np.linalg.inv(before_pose)
+        new_current = difference @ np.asarray(slam.state.pose)
+
+        # push optimized poses into the map's pose table + world cache
+        n = self.posegraph.size()
+        poses_arr = np.asarray(slam.state.map.poses).copy()
+        opt = np.stack(self.posegraph.poses())
+        poses_arr[:min(n, poses_arr.shape[0])] = opt[:poses_arr.shape[0]]
+        new_map = sm.update_poses(slam.state.map, jnp.asarray(poses_arr))
+
+        # re-render the model view at the corrected pose so the next ICP
+        # tracks against the corrected map
+        model_maps = sm.render_maps(
+            new_map, jnp.asarray(new_current, jnp.float32), self.cfg.model,
+            self.cfg.map, slam.confidence_threshold(),
+            (ts + 1) - self.cfg.loop.delta_timestamp, render_old=False)
+
+        slam.state = slam.state._replace(
+            map=new_map, pose=jnp.asarray(new_current, jnp.float32),
+            model_maps=model_maps)
+
+        # rewrite host pose log + trajectory distances
+        for i in range(min(n, len(slam.poses))):
+            slam.poses[i] = self.posegraph.pose(i)
+        dist = 0.0
+        slam.trajectory_distances[0] = 0.0
+        for i in range(1, len(slam.poses)):
+            dist += float(np.linalg.norm(slam.poses[i][:3, 3]
+                                         - slam.poses[i - 1][:3, 3]))
+            slam.trajectory_distances[i] = dist
+        self.pose_old = new_current.copy()

@@ -1,0 +1,215 @@
+"""The per-scan SLAM pipeline orchestrator.
+
+TPU-native redesign of ``SurfelMapping::processScan``
+(``/root/reference/src/core/SurfelMapping.cpp:175-210``): preprocess ->
+frame-to-model ICP -> (fallback recovery) -> map fusion -> model render.
+
+Where the reference issues ~15 GL passes with CPU sync points per scan, the
+whole per-scan computation here is ONE jitted device program
+(``odometry_step``): projection, filters, the full Gauss-Newton loop, the
+track-loss fallback (both branches compiled, selected with ``jnp.where``),
+surfel fusion and the next model render. The host only keeps the pose log,
+statistics, and the loop-closure state machine (which itself calls jitted
+subroutines).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SumaConfig
+from ..ops import icp as icp_ops
+from ..ops.icp import Maps
+from ..utils import lie
+from . import surfel_map as sm
+from .preprocessing import empty_maps, preprocess_scan
+
+
+class SlamState(NamedTuple):
+    """Device-side pipeline state (a pytree; host never unpacks the map)."""
+
+    map: sm.MapState
+    pose: jnp.ndarray            # [4,4] current world<-sensor
+    last_increment: jnp.ndarray  # [4,4]
+    last_maps: Maps              # previous frame's data maps
+    model_maps: Maps             # model render at `pose` (for next ICP)
+    timestamp: jnp.ndarray       # int32
+
+
+class StepInfo(NamedTuple):
+    pose: jnp.ndarray
+    increment: jnp.ndarray
+    stats: icp_ops.IcpStats      # odometry-quality stats (result_new_)
+    iterations: jnp.ndarray
+    track_loss: jnp.ndarray      # bool: fallback was triggered
+    n_created: jnp.ndarray
+    map_count: jnp.ndarray
+
+
+def init_state(cfg: SumaConfig) -> SlamState:
+    return SlamState(
+        map=sm.empty_map(cfg.map),
+        pose=jnp.eye(4, dtype=jnp.float32),
+        last_increment=jnp.eye(4, dtype=jnp.float32),
+        last_maps=empty_maps(cfg),
+        model_maps=empty_maps(cfg),
+        timestamp=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(state: SlamState, points: jnp.ndarray, labels: jnp.ndarray,
+                  probs: jnp.ndarray, point_valid: jnp.ndarray,
+                  conf_threshold, cfg: SumaConfig):
+    """Process one scan fully on device. Returns (new_state, StepInfo)."""
+    ts = state.timestamp
+    semantic = cfg.semantic.enabled
+
+    data_maps = preprocess_scan(points, labels, probs, point_valid,
+                                ts < cfg.semantic.init_scans, cfg)
+
+    frame_to_model = cfg.approach == "frame-to-model"
+    ref_maps = state.model_maps if frame_to_model else state.last_maps
+
+    t0 = (jnp.eye(4, dtype=jnp.float32) if cfg.icp.initialize_identity
+          else state.last_increment)
+
+    result = icp_ops.gauss_newton(data_maps, ref_maps, t0, cfg.icp, cfg.model,
+                                  semantic=semantic)
+    increment = result.pose
+
+    # track-loss fallback (SurfelMapping.cpp:438-449): if the increment jumps
+    # w.r.t. the motion model, redo ICP frame-to-frame with tighter gates
+    delta = lie.se3_inverse(state.last_increment) @ increment
+    t_err = jnp.linalg.norm(delta[:3, 3])
+    r_err = lie.rotation_angle(delta)
+    jumped = ((ts > 1) & ((t_err > cfg.icp.fallback_translation_jump)
+                          | (r_err > cfg.icp.fallback_rotation_jump))
+              & jnp.asarray(cfg.icp.fallback_mode))
+    if cfg.icp.fallback_mode:
+        recovery_cfg = replace(cfg.icp,
+                               max_distance=cfg.icp.fallback_max_distance,
+                               max_angle=cfg.icp.fallback_max_angle)
+        rec = icp_ops.gauss_newton(data_maps, state.last_maps, t0,
+                                   recovery_cfg, cfg.data, semantic=semantic)
+        increment = jnp.where(jumped, rec.pose, increment)
+
+    # first scan: no motion
+    increment = jnp.where(ts == 0, jnp.eye(4, dtype=increment.dtype), increment)
+    new_pose = state.pose @ increment
+    new_pose = lie.orthonormalize(new_pose)
+
+    # odometry-quality statistics at the new pose (result_new_,
+    # SurfelMapping.cpp:406-419): evaluate against the map rendered there
+    ts_active = ts - cfg.loop.delta_timestamp  # active/new split
+    quality_maps = sm.render_maps(state.map, new_pose, cfg.model, cfg.map,
+                                  conf_threshold, ts_active, render_old=False)
+    stats = icp_ops.evaluate(jnp.eye(4, dtype=jnp.float32), data_maps,
+                             quality_maps, cfg.icp, cfg.model,
+                             semantic=semantic)
+
+    # map fusion + render the model view for the next scan's ICP
+    frame = sm.data_surfel_init(data_maps, cfg.data, cfg.map)
+    new_map, n_created = sm.update_map(state.map, frame, new_pose, ts,
+                                       cfg.data, cfg.map, conf_threshold,
+                                       semantic=semantic)
+    model_maps = sm.render_maps(new_map, new_pose, cfg.model, cfg.map,
+                                conf_threshold, (ts + 1) - cfg.loop.delta_timestamp,
+                                render_old=False)
+
+    new_state = SlamState(map=new_map, pose=new_pose, last_increment=increment,
+                          last_maps=data_maps, model_maps=model_maps,
+                          timestamp=ts + 1)
+    info = StepInfo(pose=new_pose, increment=increment, stats=stats,
+                    iterations=result.iterations, track_loss=jumped,
+                    n_created=n_created, map_count=new_map.count)
+    return new_state, info
+
+
+class SurfelSLAM:
+    """Host-side driver: owns device state, pose log, statistics and (when
+    enabled) the loop-closure state machine. The reference equivalent is the
+    ``SurfelMapping`` class plus the parts of ``VisualizerWindow`` that keep
+    trajectories (``/root/reference/src/core/SurfelMapping.{h,cpp}``)."""
+
+    def __init__(self, cfg: SumaConfig, enable_loop_closure: bool | None = None):
+        self.cfg = cfg
+        self.state = init_state(cfg)
+        self.poses: list[np.ndarray] = []
+        self.statistics: list[dict] = []
+        self.trajectory_distances: list[float] = [0.0]
+        self.track_loss_count = 0
+        self._loop = None
+        do_loops = cfg.loop.enabled if enable_loop_closure is None \
+            else enable_loop_closure
+        if do_loops and cfg.approach == "frame-to-model":
+            from .loop_closure import LoopCloser
+            self._loop = LoopCloser(cfg)
+
+    @property
+    def timestamp(self) -> int:
+        return len(self.poses)
+
+    def confidence_threshold(self) -> float:
+        """Warmup schedule (SurfelMapping::getConfidenceThreshold,
+        SurfelMapping.cpp:333-340)."""
+        cfg = self.cfg.map
+        t = self.timestamp
+        if t < cfg.time_init:
+            a = t / cfg.time_init
+            return (1.0 - a) * cfg.log_unstable + a * cfg.confidence_threshold
+        return cfg.confidence_threshold
+
+    def process_scan(self, points, labels=None, probs=None, point_valid=None):
+        """Feed one scan; returns an info dict (the reference's statistics_)."""
+        t_start = time.perf_counter()
+        n = points.shape[0]
+        if labels is None:
+            labels = jnp.zeros((n,), jnp.int32)
+        if probs is None:
+            probs = jnp.ones((n,), jnp.float32)
+        if point_valid is None:
+            point_valid = jnp.ones((n,), bool)
+
+        ct = self.confidence_threshold()
+        self.state, info = odometry_step(
+            self.state, jnp.asarray(points), jnp.asarray(labels),
+            jnp.asarray(probs), jnp.asarray(point_valid), ct, self.cfg)
+
+        pose = np.asarray(info.pose)
+        self.poses.append(pose)
+        if len(self.poses) > 1:
+            self.trajectory_distances.append(
+                self.trajectory_distances[-1]
+                + float(np.linalg.norm(self.poses[-2][:3, 3] - pose[:3, 3])))
+        self.track_loss_count += int(info.track_loss)
+
+        stats = {
+            "icp-iterations": int(info.iterations),
+            "icp-error": float(info.stats.error),
+            "icp-inlier": int(info.stats.inlier),
+            "icp-outlier": int(info.stats.outlier),
+            "icp-valid": int(info.stats.valid),
+            "icp-invalid": int(info.stats.invalid),
+            "track-loss": bool(info.track_loss),
+            "map-count": int(info.map_count),
+            "surfels-created": int(info.n_created),
+        }
+
+        if self._loop is not None:
+            loop_stats = self._loop.on_scan(self, info)
+            stats.update(loop_stats)
+
+        stats["complete-time"] = time.perf_counter() - t_start
+        self.statistics.append(stats)
+        return stats
+
+    def trajectory(self) -> np.ndarray:
+        return np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))

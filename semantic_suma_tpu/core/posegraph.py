@@ -1,0 +1,260 @@
+"""Pose-graph optimization on SE(3): Gauss-Newton with PCG normal equations.
+
+Replaces the reference's GTSAM wrapper (``/root/reference/src/core/
+Posegraph.{h,cpp}``: BetweenFactor<Pose3> + Levenberg-Marquardt) with a
+TPU-native solver:
+
+* Factors: odometry/loop ``BetweenFactor`` residuals
+  ``r = log(Z^-1 (X_i^-1 X_j))`` with diagonal information, plus a prior on
+  the first pose (Posegraph.cpp:41-60).
+* Linearization uses right-perturbations ``X exp(d)`` with first-order
+  adjoint Jacobians; the normal equations are solved matrix-free by
+  **block-Jacobi-preconditioned conjugate gradient**, whose matvec is an
+  edge-wise gather/scatter — scaling to thousands of poses without the dense
+  6N x 6N factorization GTSAM's LM builds, and mapping naturally to
+  ``psum``-based sharding across devices.
+* Levenberg damping on the diagonal gives the LM behavior of
+  ``Posegraph::optimize`` (Posegraph.cpp:90-104).
+
+Everything is jit-compatible with static edge-capacity padding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import lie
+
+
+class PoseGraphData(NamedTuple):
+    """Padded, device-friendly problem description."""
+
+    poses: jnp.ndarray        # [N, 4, 4] current estimates
+    edge_i: jnp.ndarray       # [E] int32 source index
+    edge_j: jnp.ndarray       # [E] int32 target index
+    edge_z: jnp.ndarray       # [E, 4, 4] measured relative pose i->j
+    edge_info: jnp.ndarray    # [E, 6] diagonal information
+    edge_valid: jnp.ndarray   # [E] bool
+    n_poses: jnp.ndarray      # int32 (poses beyond are ignored)
+
+
+def _so3_left_jacobian_inv_approx(omega):
+    """First-order inverse left Jacobian: I - 0.5 hat(omega)."""
+    return jnp.eye(3, dtype=omega.dtype) - 0.5 * lie.hat(omega)
+
+
+def _between_residual(xi, xj, z):
+    """r = log(Z^-1 X_i^-1 X_j) in [v, omega] order."""
+    rel = lie.se3_inverse(z) @ (lie.se3_inverse(xi) @ xj)
+    return lie.se3_log(rel)
+
+
+def _residuals(poses, data: PoseGraphData):
+    xi = poses[data.edge_i]
+    xj = poses[data.edge_j]
+    r = jax.vmap(_between_residual)(xi, xj, data.edge_z)
+    return jnp.where(data.edge_valid[:, None], r, 0.0)
+
+
+def _edge_jacobians(poses, data: PoseGraphData):
+    """Jacobians of each edge residual w.r.t. right-perturbations of X_i and
+    X_j, computed with jax.jacfwd through the exact residual (6x6 each).
+    Autodiff replaces hand-derived adjoint formulas — exact at the current
+    linearization point, and fully fused by XLA."""
+
+    def res_fn(di, dj, xi, xj, z):
+        return _between_residual(xi @ lie.se3_exp(di), xj @ lie.se3_exp(dj), z)
+
+    zeros = jnp.zeros((data.edge_i.shape[0], 6), poses.dtype)
+    xi = poses[data.edge_i]
+    xj = poses[data.edge_j]
+    ji = jax.vmap(jax.jacfwd(res_fn, argnums=0))(zeros, zeros, xi, xj, data.edge_z)
+    jj = jax.vmap(jax.jacfwd(res_fn, argnums=1))(zeros, zeros, xi, xj, data.edge_z)
+    mask = data.edge_valid[:, None, None]
+    return jnp.where(mask, ji, 0.0), jnp.where(mask, jj, 0.0)
+
+
+def _normal_matvec(x, ji, jj, data: PoseGraphData, n, lam, jtj_diag):
+    """(JᵀWJ + lam*diag) @ x without materializing the matrix."""
+    xi = x[data.edge_i]
+    xj = x[data.edge_j]
+    # per-edge residual-space product
+    ri = jnp.einsum("eab,eb->ea", ji, xi) + jnp.einsum("eab,eb->ea", jj, xj)
+    ri = ri * data.edge_info
+    out = jnp.zeros_like(x)
+    out = out.at[data.edge_i].add(jnp.einsum("eba,eb->ea", ji, ri))
+    out = out.at[data.edge_j].add(jnp.einsum("eba,eb->ea", jj, ri))
+    # prior on pose 0 (large fixed information, Posegraph.cpp:41-46)
+    out = out.at[0].add(1e6 * x[0])
+    return out + lam * jtj_diag * x
+
+
+def _block_diag(ji, jj, data: PoseGraphData, n):
+    """6x6 diagonal blocks of JᵀWJ for the block-Jacobi preconditioner."""
+    wi = ji * data.edge_info[:, :, None]
+    wj = jj * data.edge_info[:, :, None]
+    bi = jnp.einsum("eba,ebc->eac", ji, wi)
+    bj = jnp.einsum("eba,ebc->eac", jj, wj)
+    blocks = jnp.zeros((n, 6, 6), ji.dtype)
+    blocks = blocks.at[data.edge_i].add(bi)
+    blocks = blocks.at[data.edge_j].add(bj)
+    blocks = blocks.at[0].add(1e6 * jnp.eye(6, dtype=ji.dtype))
+    return blocks
+
+
+@partial(jax.jit, static_argnames=("max_gn_iters", "max_cg_iters"))
+def optimize(data: PoseGraphData, max_gn_iters: int = 10,
+             max_cg_iters: int = 64, lam: float = 1e-6,
+             tol: float = 1e-6):
+    """Gauss-Newton with PCG inner solves. Returns (poses, final_error)."""
+    n = data.poses.shape[0]
+    mask = (jnp.arange(n) < data.n_poses)[:, None]
+
+    def error_of(poses):
+        r = _residuals(poses, data)
+        return jnp.sum(r * r * data.edge_info)
+
+    def gn_body(carry):
+        poses, _, it, done = carry
+        r = _residuals(poses, data)
+        ji, jj = _edge_jacobians(poses, data)
+
+        # gradient g = Jᵀ W r
+        wr = r * data.edge_info
+        g = jnp.zeros((n, 6), poses.dtype)
+        g = g.at[data.edge_i].add(jnp.einsum("eba,eb->ea", ji, wr))
+        g = g.at[data.edge_j].add(jnp.einsum("eba,eb->ea", jj, wr))
+
+        blocks = _block_diag(ji, jj, data, n)
+        blocks_reg = blocks + 1e-6 * jnp.eye(6, dtype=poses.dtype)
+        chol = jax.vmap(lambda b: jax.scipy.linalg.cho_factor(b, lower=True))(
+            blocks_reg)
+
+        def precond(v):
+            return jax.vmap(
+                lambda c, rhs: jax.scipy.linalg.cho_solve((c, True), rhs)
+            )(chol[0], v)
+
+        jtj_diag = jax.vmap(jnp.diag)(blocks)
+
+        def matvec(v):
+            return _normal_matvec(v * mask, ji, jj, data, n, lam, jtj_diag) * mask
+
+        b = -g * mask
+
+        def cg_body(carry):
+            x, rr, p, rz, k = carry
+            ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * ap), 1e-30)
+            x = x + alpha * p
+            rr = rr - alpha * ap
+            z = precond(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return x, rr, p, rz_new, k + 1
+
+        def cg_cond(carry):
+            _, rr, _, _, k = carry
+            return (k < max_cg_iters) & (jnp.sum(rr * rr) > tol * tol)
+
+        x0 = jnp.zeros_like(b)
+        z0 = precond(b)
+        dx, *_ = jax.lax.while_loop(
+            cg_cond, cg_body, (x0, b, z0, jnp.sum(b * z0),
+                               jnp.zeros((), jnp.int32)))
+
+        new_poses = jax.vmap(lambda p, d: p @ lie.se3_exp(d))(poses, dx * mask)
+        new_poses = jnp.where(mask[:, :, None], new_poses, poses)
+
+        err_old = error_of(poses)
+        err_new = error_of(new_poses)
+        improved = err_new < err_old
+        poses_out = jnp.where(improved, new_poses, poses)
+        done = ~improved | (jnp.abs(err_old - err_new)
+                            < 1e-9 * jnp.maximum(err_old, 1.0))
+        return poses_out, jnp.minimum(err_new, err_old), it + 1, done
+
+    def gn_cond(carry):
+        _, _, it, done = carry
+        return (it < max_gn_iters) & ~done
+
+    init = (data.poses, error_of(data.poses), jnp.zeros((), jnp.int32),
+            jnp.asarray(False))
+    poses, err, _, _ = jax.lax.while_loop(gn_cond, gn_body, init)
+    return poses, err
+
+
+class Posegraph:
+    """Host-side incremental pose-graph container mirroring the reference
+    API (setInitial / addEdge / optimize / poses)."""
+
+    def __init__(self, edge_capacity: int = 16384):
+        self._poses: list[np.ndarray] = []
+        self._edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+        self.edge_capacity = edge_capacity
+
+    def set_initial(self, idx: int, pose) -> None:
+        pose = np.asarray(pose, np.float32)
+        while len(self._poses) <= idx:
+            self._poses.append(np.eye(4, dtype=np.float32))
+        self._poses[idx] = pose
+
+    def add_edge(self, i: int, j: int, z, info=None) -> None:
+        if info is None:
+            info = np.ones(6, np.float32)
+        self._edges.append((i, j, np.asarray(z, np.float32),
+                            np.asarray(info, np.float32)))
+
+    def pose(self, idx: int) -> np.ndarray:
+        return self._poses[idx]
+
+    def poses(self) -> list[np.ndarray]:
+        return list(self._poses)
+
+    def size(self) -> int:
+        return len(self._poses)
+
+    def clone(self) -> "Posegraph":
+        g = Posegraph(self.edge_capacity)
+        g._poses = [p.copy() for p in self._poses]
+        g._edges = list(self._edges)
+        return g
+
+    def to_device(self, pose_capacity: int | None = None) -> PoseGraphData:
+        n = len(self._poses)
+        e = len(self._edges)
+        cap_n = pose_capacity or max(1, n)
+        cap_e = self.edge_capacity
+        if e > cap_e:
+            raise ValueError(f"edge capacity {cap_e} exceeded ({e})")
+        poses = np.tile(np.eye(4, dtype=np.float32), (cap_n, 1, 1))
+        poses[:n] = np.stack(self._poses) if n else poses[:0]
+        ei = np.zeros(cap_e, np.int32)
+        ej = np.zeros(cap_e, np.int32)
+        ez = np.tile(np.eye(4, dtype=np.float32), (cap_e, 1, 1))
+        einfo = np.zeros((cap_e, 6), np.float32)
+        ev = np.zeros(cap_e, bool)
+        for k, (i, j, z, info) in enumerate(self._edges):
+            ei[k], ej[k], ez[k], einfo[k], ev[k] = i, j, z, info, True
+        return PoseGraphData(
+            poses=jnp.asarray(poses), edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej), edge_z=jnp.asarray(ez),
+            edge_info=jnp.asarray(einfo), edge_valid=jnp.asarray(ev),
+            n_poses=jnp.asarray(n, jnp.int32))
+
+    def optimize(self, max_iterations: int = 10) -> float:
+        """Run GN+PCG on device; writes results back. Returns final error."""
+        if len(self._poses) < 2 or not self._edges:
+            return 0.0
+        data = self.to_device()
+        poses, err = optimize(data, max_gn_iters=max_iterations)
+        poses = np.asarray(poses)
+        for i in range(len(self._poses)):
+            self._poses[i] = poses[i]
+        return float(err)

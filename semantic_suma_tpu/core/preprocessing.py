@@ -1,0 +1,69 @@
+"""Per-scan preprocessing: raw points -> vertex/normal/semantic maps.
+
+TPU-native counterpart of ``/root/reference/src/core/Preprocessing.cpp``
+(gen_vertexmap -> optional bilateral -> gen_normalmap+erosion -> floodfill),
+expressed as pure functions over dense maps so XLA fuses the whole chain
+into a handful of kernels inside the pipeline's per-scan jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SumaConfig
+from ..models.labels import is_movable
+from ..ops.filters import (bilateral_filter, compute_normals, erode_semantics,
+                           flood_fill)
+from ..ops.icp import Maps
+from ..ops.projection import project_scan
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def preprocess_scan(points: jnp.ndarray, labels: jnp.ndarray,
+                    probs: jnp.ndarray, point_valid: jnp.ndarray,
+                    is_first, cfg: SumaConfig) -> Maps:
+    """Build the per-frame maps from a raw labeled scan.
+
+    ``is_first`` (dynamic bool) suppresses movable-class points during the
+    initialization period (gen_vertexmap.vert:94-102).
+    """
+    pv = point_valid
+    if cfg.semantic.enabled and cfg.semantic.remove_movable_on_init:
+        keep = ~(is_movable(labels) & is_first)
+        pv = pv & keep
+
+    res = project_scan(points, labels, probs, cfg=cfg.data, point_valid=pv,
+                       averaging=cfg.preprocess.averaging_scheme == 1)
+
+    vertex = res.vertex_map
+    if cfg.preprocess.use_filtered_vertexmap:
+        vertex = bilateral_filter(
+            vertex, res.vertex_valid,
+            sigma_space=cfg.preprocess.bilateral_sigma_space * 9.0,
+            sigma_range=cfg.preprocess.bilateral_sigma_range)
+
+    normal, nvalid = compute_normals(vertex, res.vertex_valid)
+
+    sem_label, sem_prob = res.sem_label, res.sem_prob
+    if cfg.semantic.enabled:
+        if cfg.preprocess.semantic_erosion:
+            sem_label, sem_prob = erode_semantics(sem_label, sem_prob,
+                                                  res.vertex_valid)
+        if cfg.preprocess.flood_fill:
+            sem_label, sem_prob = flood_fill(sem_label, sem_prob, vertex)
+
+    return Maps(vertex=vertex, normal=normal, vertex_valid=res.vertex_valid,
+                normal_valid=nvalid, sem_label=sem_label, sem_prob=sem_prob)
+
+
+def empty_maps(cfg: SumaConfig) -> Maps:
+    h, w = cfg.data.height, cfg.data.width
+    return Maps(vertex=jnp.zeros((h, w, 3), jnp.float32),
+                normal=jnp.zeros((h, w, 3), jnp.float32),
+                vertex_valid=jnp.zeros((h, w), bool),
+                normal_valid=jnp.zeros((h, w), bool),
+                sem_label=jnp.zeros((h, w), jnp.int32),
+                sem_prob=jnp.zeros((h, w), jnp.float32))

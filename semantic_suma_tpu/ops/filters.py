@@ -107,10 +107,10 @@ def flood_fill(sem_label: jnp.ndarray, sem_prob: jnp.ndarray,
     taken = sem_label != 0  # already labeled pixels never change
 
     for off in range(1, kernel_size):
-        for shift in (lambda a, f=None: _shift_x(a, off),
-                      lambda a, f=0.0: _shift_y(a, off, f),
-                      lambda a, f=None: _shift_x(a, -off),
-                      lambda a, f=0.0: _shift_y(a, -off, f)):
+        for shift in (lambda a: _shift_x(a, off),
+                      lambda a: _shift_y(a, off, 0),  # weak 0 keeps int dtype
+                      lambda a: _shift_x(a, -off),
+                      lambda a: _shift_y(a, -off, 0)):
             # neighbors are read from the *original* maps (single-pass shader)
             n_label = shift(sem_label)
             n_prob = shift(sem_prob)

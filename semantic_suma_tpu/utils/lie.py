@@ -59,7 +59,10 @@ def so3_log(r: jnp.ndarray) -> jnp.ndarray:
     we fall back to the symmetric extraction of the axis).
     """
     trace = r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2]
-    cos_t = jnp.clip(0.5 * (trace - 1.0), -1.0, 1.0)
+    # clip strictly inside (-1, 1): arccos' diverges at the endpoints and
+    # would poison autodiff (the pose-graph solver differentiates through
+    # this); at theta ~ 0 the output is w-dominated and unaffected.
+    cos_t = jnp.clip(0.5 * (trace - 1.0), -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_t)
     sin_t = jnp.sin(theta)
 

@@ -1,0 +1,71 @@
+"""End-to-end SLAM pipeline tests on the synthetic world."""
+import numpy as np
+import jax.numpy as jnp
+
+from semantic_suma_tpu.config import (DataConfig, IcpConfig, MapConfig,
+                                      SumaConfig)
+from semantic_suma_tpu.core.pipeline import SurfelSLAM
+from semantic_suma_tpu.io.simulation import SimulationReader
+
+
+def small_cfg(**kw):
+    d = DataConfig(width=180, height=32)
+    return SumaConfig(
+        data=d, model=d,
+        icp=IcpConfig(max_iterations=15),
+        map=MapConfig(surfel_capacity=1 << 17, active_capacity=1 << 15,
+                      max_poses=256),
+        **kw)
+
+
+def ate_rmse(est, gt):
+    """Translation ATE after aligning first poses."""
+    rel = np.linalg.inv(gt[0]) @ gt
+    est_rel = np.linalg.inv(est[0]) @ est
+    d = est_rel[:, :3, 3] - rel[:, :3, 3]
+    return float(np.sqrt((d ** 2).sum(-1).mean()))
+
+
+def run_slam(cfg, n_scans=25, enable_loops=False, radius=18.0):
+    reader = SimulationReader(cfg.data, n_scans=max(n_scans, 60),
+                              radius=radius)
+    slam = SurfelSLAM(cfg, enable_loop_closure=enable_loops)
+    gt = []
+    for i in range(n_scans):
+        scan = reader.read(i)
+        slam.process_scan(scan.points, scan.labels, scan.probs, scan.valid)
+        gt.append(np.asarray(reader.gt_pose(i)))
+    return slam, np.stack(gt)
+
+
+def test_frame_to_model_odometry():
+    slam, gt = run_slam(small_cfg(approach="frame-to-model"), n_scans=25)
+    est = slam.trajectory()
+    err = ate_rmse(est, gt)
+    assert err < 0.35, err
+    assert slam.track_loss_count <= 2
+    # map grows but stays bounded by association
+    assert 500 < slam.statistics[-1]["map-count"] < (1 << 17)
+
+
+def test_frame_to_frame_odometry():
+    slam, gt = run_slam(small_cfg(approach="frame-to-frame"), n_scans=15)
+    err = ate_rmse(slam.trajectory(), gt)
+    assert err < 0.35, err
+
+
+def test_geometric_only():
+    cfg = small_cfg(approach="frame-to-model")
+    cfg = cfg.replace(semantic=cfg.semantic.__class__(enabled=False))
+    slam, gt = run_slam(cfg, n_scans=15)
+    err = ate_rmse(slam.trajectory(), gt)
+    assert err < 0.35, err
+
+
+def test_statistics_exported():
+    slam, _ = run_slam(small_cfg(), n_scans=3)
+    s = slam.statistics[-1]
+    for key in ("icp-iterations", "icp-error", "icp-inlier", "map-count",
+                "complete-time"):
+        assert key in s
+    assert s["icp-iterations"] >= 1
