@@ -106,23 +106,18 @@ def odometry_step(state: SlamState, points: jnp.ndarray, labels: jnp.ndarray,
     new_pose = state.pose @ increment
     new_pose = lie.orthonormalize(new_pose)
 
-    # odometry-quality statistics at the new pose (result_new_,
-    # SurfelMapping.cpp:406-419): evaluate against the map rendered there
-    ts_active = ts - cfg.loop.delta_timestamp  # active/new split
-    quality_maps = sm.render_maps(state.map, new_pose, cfg.model, cfg.map,
-                                  conf_threshold, ts_active, render_old=False)
-    stats = icp_ops.evaluate(jnp.eye(4, dtype=jnp.float32), data_maps,
-                             quality_maps, cfg.icp, cfg.model,
-                             semantic=semantic)
+    # odometry-quality statistics (result_new_, SurfelMapping.cpp:406-419).
+    # The reference re-renders the model at the converged pose and evaluates
+    # once more; at convergence the last GN linearization is evaluated at
+    # (numerically) the same pose, so we reuse it — saving a full render.
+    stats = result.stats
 
-    # map fusion + render the model view for the next scan's ICP
+    # map fusion + model render for the next scan's ICP, fused over one
+    # active view (the reference's updateMap + its end-of-update render)
     frame = sm.data_surfel_init(data_maps, cfg.data, cfg.map)
-    new_map, n_created = sm.update_map(state.map, frame, new_pose, ts,
-                                       cfg.data, cfg.map, conf_threshold,
-                                       semantic=semantic)
-    model_maps = sm.render_maps(new_map, new_pose, cfg.model, cfg.map,
-                                conf_threshold, (ts + 1) - cfg.loop.delta_timestamp,
-                                render_old=False)
+    new_map, model_maps, n_created = sm.fuse_and_render(
+        state.map, frame, new_pose, ts, cfg.data, cfg.map, conf_threshold,
+        (ts + 1) - cfg.loop.delta_timestamp, semantic=semantic)
 
     new_state = SlamState(map=new_map, pose=new_pose, last_increment=increment,
                           last_maps=data_maps, model_maps=model_maps,

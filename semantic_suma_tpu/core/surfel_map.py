@@ -11,29 +11,36 @@ TPU-native redesign of the reference's GPU surfel pipeline
   **periodic cumsum compaction** replaces transform feedback, and creation is
   an **append via prefix-sum offsets + unique-index scatter**.
 
-* Surfels store their geometry in the frame of their *creation pose* and the
-  index of that pose (reference ``Surfel.h`` count field +
-  ``update_surfels.vert:133-151``), so loop closures only rewrite the pose
-  table — plus a cached world-frame copy (recomputed on pose updates) so the
-  per-scan hot path never gathers 4x4 poses per surfel.
+* Per-scan work runs on an **active view** — a gathered, fixed-size subset
+  of surfels near the vehicle (the TPU analogue of the reference's submap
+  window, ``SurfelMap.cpp:744-824``, which pages far tiles off the GPU).
+  The view is built with one cheap full-capacity mask+cumsum pass; update
+  results scatter back with unique indices.
+
+* Surfels store their geometry in the frame of their *creation pose* plus
+  the index of that pose (reference ``Surfel.h`` count field), so loop
+  closures only rewrite the pose table — plus a cached world-frame copy
+  (refreshed on pose updates) so the hot path never gathers 4x4 poses.
 
 * Splat rendering (surfel disks under spherical projection, z-buffered) is
-  visibility-culling + a 3x3-footprint ray/disk test resolved by the
-  deterministic sort-based z-buffer in ``ops/zbuffer.py``.
+  center-scatter into a per-pixel z-buffer (deterministic sort-based
+  reduction, ``ops/zbuffer.py``) followed by a 3x3 neighborhood gather with
+  a per-pixel ray/disk intersection test — one z-buffer entry per surfel
+  instead of rasterizing a quad, with the disk footprint resolved on the
+  gather side.
 
 * The per-surfel update (data association, odds-based stability with
   semantic penalty, recursive semantic probability, slerp normal averaging)
-  is a branch-free vmapped kernel over the active set, mirroring the math of
-  ``update_surfels.vert:140-334``.
+  is a branch-free vectorized kernel over the active view, mirroring the
+  math of ``update_surfels.vert:140-334``.
 
-All functions are pure; the whole per-scan map update is jit-compiled as a
-single device program by the pipeline.
+All functions are pure; the whole per-scan map update + render is fused into
+a single jitted device program by the pipeline.
 """
 
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -44,52 +51,102 @@ from ..models.labels import is_movable
 from ..ops.icp import Maps
 from ..ops.projection import INV_PI, pixel_rays
 from ..ops.zbuffer import zbuffer_argmin, gather_or
+from ..utils import lie
 
 
 class SurfelData(NamedTuple):
-    """SoA surfel attributes (reference ``Surfel.h:5-15``), capacity CAP."""
+    """SoA surfel attributes (reference ``Surfel.h:5-15``)."""
 
-    position: jnp.ndarray     # [CAP, 3] in creation-pose frame
-    normal: jnp.ndarray       # [CAP, 3] in creation-pose frame
-    radius: jnp.ndarray       # [CAP]
-    confidence: jnp.ndarray   # [CAP] log-odds stability
-    timestamp: jnp.ndarray    # [CAP] int32 last-update scan index
-    creation_ts: jnp.ndarray  # [CAP] int32 creation scan index (pose index)
-    weight: jnp.ndarray       # [CAP] accumulation weight
-    sem_label: jnp.ndarray    # [CAP] int32
-    sem_prob: jnp.ndarray     # [CAP] float32
-    valid: jnp.ndarray        # [CAP] bool
-    wpos: jnp.ndarray         # [CAP, 3] cached world-frame position
-    wnormal: jnp.ndarray      # [CAP, 3] cached world-frame normal
+    position: jnp.ndarray     # [N, 3] in creation-pose frame
+    normal: jnp.ndarray       # [N, 3] in creation-pose frame
+    radius: jnp.ndarray       # [N]
+    confidence: jnp.ndarray   # [N] log-odds stability
+    timestamp: jnp.ndarray    # [N] int32 last-update scan index
+    creation_ts: jnp.ndarray  # [N] int32 creation scan index (pose index)
+    weight: jnp.ndarray       # [N] accumulation weight
+    sem_label: jnp.ndarray    # [N] int32
+    sem_prob: jnp.ndarray     # [N] float32
+    valid: jnp.ndarray        # [N] bool
+    wpos: jnp.ndarray         # [N, 3] cached world-frame position
+    wnormal: jnp.ndarray      # [N, 3] cached world-frame normal
+
+    def take(self, idx: jnp.ndarray) -> "SurfelData":
+        """Gather rows (out-of-range indices yield invalid rows)."""
+        n = self.position.shape[0]
+        safe = jnp.minimum(idx, n - 1)
+        ok = idx < n
+        sub = jax.tree.map(lambda a: a[safe], self)
+        return sub._replace(valid=sub.valid & ok)
 
 
 class MapState(NamedTuple):
-    data: SurfelData
+    data: SurfelData          # capacity CAP
     count: jnp.ndarray        # int32 high-water mark of allocated slots
     poses: jnp.ndarray        # [MAX_POSES, 4, 4] per-timestamp poses
+
+
+class ActiveView(NamedTuple):
+    """Gathered working set of surfels near the vehicle."""
+
+    idx: jnp.ndarray          # [ACT] int32 row in the global store (CAP = none)
+    data: SurfelData          # [ACT] gathered rows
 
 
 class FrameInputs(NamedTuple):
     """Per-scan inputs to the map update: data maps + per-pixel surfel init."""
 
     maps: Maps
-    radius: jnp.ndarray       # [H, W] creation radius per pixel
+    radius: jnp.ndarray        # [H, W] creation radius per pixel
     radius_valid: jnp.ndarray  # [H, W] bool
 
 
+def _zeros_data(n: int) -> SurfelData:
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    z1 = jnp.zeros((n,), jnp.float32)
+    zi = jnp.zeros((n,), jnp.int32)
+    return SurfelData(position=z3, normal=z3, radius=z1, confidence=z1,
+                      timestamp=zi, creation_ts=zi, weight=z1,
+                      sem_label=zi, sem_prob=z1,
+                      valid=jnp.zeros((n,), bool), wpos=z3, wnormal=z3)
+
+
 def empty_map(cfg: MapConfig) -> MapState:
-    cap = cfg.surfel_capacity
-    z3 = jnp.zeros((cap, 3), jnp.float32)
-    z1 = jnp.zeros((cap,), jnp.float32)
-    zi = jnp.zeros((cap,), jnp.int32)
-    data = SurfelData(
-        position=z3, normal=z3, radius=z1, confidence=z1,
-        timestamp=zi, creation_ts=zi, weight=z1,
-        sem_label=zi, sem_prob=z1,
-        valid=jnp.zeros((cap,), bool), wpos=z3, wnormal=z3)
     poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                              (cfg.max_poses, 4, 4))
-    return MapState(data=data, count=jnp.zeros((), jnp.int32), poses=poses)
+    return MapState(data=_zeros_data(cfg.surfel_capacity),
+                    count=jnp.zeros((), jnp.int32), poses=poses)
+
+
+# ---------------------------------------------------------------------------
+# active view (submap-window analogue)
+# ---------------------------------------------------------------------------
+
+def build_active(state: MapState, center: jnp.ndarray,
+                 cfg: MapConfig, margin: float = 25.0) -> ActiveView:
+    """Gather surfels within the active radius of ``center`` into a
+    fixed-size view (one mask+cumsum pass over the full store)."""
+    cap = state.data.position.shape[0]
+    act = cfg.active_capacity
+    near = jnp.linalg.norm(state.data.wpos - center[None, :], axis=-1) \
+        < (cfg.active_radius + margin)
+    sel = state.data.valid & near
+    order = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    slots = jnp.where(sel & (order < act), order, act)
+    idx = jnp.full((act,), cap, jnp.int32).at[slots].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop", unique_indices=True)
+    return ActiveView(idx=idx, data=state.data.take(idx))
+
+
+def scatter_back(state: MapState, view: ActiveView) -> MapState:
+    """Write updated view rows back into the global store."""
+    cap = state.data.position.shape[0]
+    slots = jnp.where(view.idx < cap, view.idx, cap)
+
+    def put(dst, src):
+        return dst.at[slots].set(src, mode="drop", unique_indices=True)
+
+    data = jax.tree.map(put, state.data, view.data)
+    return state._replace(data=data)
 
 
 # ---------------------------------------------------------------------------
@@ -138,149 +195,171 @@ def _project_px(pts: jnp.ndarray, cfg: DataConfig):
 def _to_sensor(pose_inv: jnp.ndarray, wpos: jnp.ndarray, wnormal: jnp.ndarray):
     r = pose_inv[:3, :3]
     t = pose_inv[:3, 3]
-    p_c = wpos @ r.T + t
-    n_c = wnormal @ r.T
-    return p_c, n_c
+    return wpos @ r.T + t, wnormal @ r.T
 
 
-# ---------------------------------------------------------------------------
-# index map (gen_indexmap.vert: depth-buffered point render of surfel ids)
-# ---------------------------------------------------------------------------
+class _Projected(NamedTuple):
+    p_c: jnp.ndarray      # [N,3] sensor-frame position
+    n_c: jnp.ndarray      # [N,3] sensor-frame normal
+    depth: jnp.ndarray    # [N]
+    px: jnp.ndarray       # [N]
+    py: jnp.ndarray       # [N]
+    visible: jnp.ndarray  # [N] front-facing
+    inside: jnp.ndarray   # [N] in image + depth range
 
-def render_index_map(state: MapState, pose_inv: jnp.ndarray,
-                     cfg: DataConfig) -> jnp.ndarray:
-    """[H, W] int32 nearest visible surfel index per pixel (-1 none)."""
-    d = state.data
-    p_c, n_c = _to_sensor(pose_inv, d.wpos, d.wnormal)
+
+def _project_surfels(data: SurfelData, pose_inv: jnp.ndarray,
+                     cfg: DataConfig, facing_eps: float = 0.01) -> _Projected:
+    p_c, n_c = _to_sensor(pose_inv, data.wpos, data.wnormal)
     depth = jnp.linalg.norm(p_c, axis=-1)
-    visible = jnp.sum(n_c * (-p_c), axis=-1) / jnp.maximum(depth, 1e-12) > 0.01
+    visible = jnp.sum(n_c * (-p_c), axis=-1) / jnp.maximum(depth, 1e-12) \
+        > facing_eps
     px, py, depth, inside = _project_px(p_c, cfg)
-    ok = d.valid & visible & inside
-    ids = jnp.where(ok, py * cfg.width + px, -1)
-    winner, _ = zbuffer_argmin(ids, depth, cfg.height * cfg.width)
-    return winner.reshape(cfg.height, cfg.width)
+    return _Projected(p_c, n_c, depth, px, py, visible, inside)
 
 
 # ---------------------------------------------------------------------------
-# splat rendering (render_surfels.* + render_compose.frag)
+# rendering: center-scatter z-buffer + neighborhood disk-gather
+# (render_surfels.* + gen_indexmap + render_compose.frag)
 # ---------------------------------------------------------------------------
 
-def _splat_entries(state: MapState, pose_inv: jnp.ndarray, cfg: DataConfig,
-                   conf_threshold, ts_threshold, render_old: bool,
-                   map_cfg: MapConfig, footprint: int = 1):
-    """Per-surfel splat candidates: (pixel ids [K*CAP], depth, surfel index).
+class RenderEntries(NamedTuple):
+    """One z-buffer candidate per selected surfel."""
 
-    Each selected surfel contributes a (2*footprint+1)^2 pixel neighborhood
-    around its projected center; per-candidate validity is the ray/disk
-    intersection test (the TPU analogue of rasterizing the tangent-disk quad
-    in render_surfels.geom:101-120).
-    """
-    d = state.data
-    p_c, n_c = _to_sensor(pose_inv, d.wpos, d.wnormal)
-    depth = jnp.linalg.norm(p_c, axis=-1)
-    visible = jnp.sum(n_c * (-p_c), axis=-1) / jnp.maximum(depth, 1e-12) > 0.01
-    px, py, _, inside = _project_px(p_c, cfg)
+    data: SurfelData          # [N] source attributes
+    proj: _Projected          # [N]
+    sel: jnp.ndarray          # [N] selected for rendering
 
-    sel = d.valid & visible & inside
+
+def _selection(data: SurfelData, proj: _Projected, map_cfg: MapConfig,
+               conf_threshold, ts_threshold, which: str) -> jnp.ndarray:
+    sel = data.valid & proj.visible & proj.inside
     if map_cfg.use_stability:
-        sel = sel & (d.confidence > conf_threshold)
-    if render_old:
-        sel = sel & (d.creation_ts < ts_threshold)
-    else:
-        sel = sel & ((d.creation_ts >= ts_threshold)
-                     | (d.timestamp >= ts_threshold))
-
-    rays = pixel_rays(cfg).reshape(-1, 3)  # [P, 3]
-    n_dot_p = jnp.sum(n_c * p_c, axis=-1)
-
-    offsets = [(dx, dy) for dy in range(-footprint, footprint + 1)
-               for dx in range(-footprint, footprint + 1)]
-    all_ids, all_depth = [], []
-    hw = cfg.height * cfg.width
-    for dx, dy in offsets:
-        qx = jnp.mod(px + dx, cfg.width)
-        qy = py + dy
-        row_ok = (qy >= 0) & (qy < cfg.height)
-        pid = jnp.clip(qy, 0, cfg.height - 1) * cfg.width + qx
-        ray = rays[pid]  # [CAP, 3]
-        denom = jnp.sum(n_c * ray, axis=-1)
-        t = n_dot_p / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-        hit_pt = ray * t[:, None]
-        in_disk = jnp.linalg.norm(hit_pt - p_c, axis=-1) <= d.radius
-        t_ok = (t > cfg.min_depth) & (t < cfg.max_depth)
-        ok = sel & row_ok & in_disk & t_ok
-        all_ids.append(jnp.where(ok, pid, -1))
-        all_depth.append(jnp.where(ok, t, jnp.inf))
-    return (jnp.concatenate(all_ids), jnp.concatenate(all_depth))
+        sel = sel & (data.confidence > conf_threshold)
+    if which == "old":  # render_surfels.geom:90
+        sel = sel & (data.creation_ts < ts_threshold)
+    elif which == "new":  # render_surfels.geom:91
+        sel = sel & ((data.creation_ts >= ts_threshold)
+                     | (data.timestamp >= ts_threshold))
+    return sel
 
 
-def _winner_to_maps(winner, state: MapState, pose_inv: jnp.ndarray,
-                    cfg: DataConfig, n_splat: int) -> Maps:
-    """Gather winning surfel attributes into model maps (the model vertex is
-    the surfel *center* in sensor frame, like render_surfels.geom:95-99)."""
-    cap = state.data.position.shape[0]
-    sid = jnp.where(winner >= 0, winner % cap, -1)
-    d = state.data
-    p_c, n_c = _to_sensor(pose_inv, d.wpos, d.wnormal)
-    vert = gather_or(sid, p_c, 0.0).reshape(cfg.height, cfg.width, 3)
-    norm = gather_or(sid, n_c, 0.0).reshape(cfg.height, cfg.width, 3)
-    lab = gather_or(sid, d.sem_label, 0).reshape(cfg.height, cfg.width)
-    prob = gather_or(sid, d.sem_prob, 0.0).reshape(cfg.height, cfg.width)
-    ok = (sid >= 0).reshape(cfg.height, cfg.width)
-    return Maps(vertex=vert, normal=norm, vertex_valid=ok, normal_valid=ok,
+def _resolve_maps(entries_list, cfg: DataConfig) -> Maps:
+    """Resolve candidate streams to model maps.
+
+    Phase 1: per-pixel nearest candidate via the sorted z-buffer (surfel
+    centers only). Phase 2: each pixel gathers its 3x3 neighborhood winners,
+    ray/disk-intersects their tangent disks, and keeps the nearest hit —
+    recovering the disk footprint of the reference's quad rasterization
+    without multiplying the z-buffer load by 9.
+    """
+    h, w = cfg.height, cfg.width
+    hw = h * w
+
+    ids = []
+    deps = []
+    for e in entries_list:
+        pid = jnp.where(e.sel, e.proj.py * w + e.proj.px, -1)
+        ids.append(pid)
+        deps.append(jnp.where(e.sel, e.proj.depth, jnp.inf))
+    offsets = [0]
+    for e in entries_list[:-1]:
+        offsets.append(offsets[-1] + e.sel.shape[0])
+    winner, _ = zbuffer_argmin(jnp.concatenate(ids) if len(ids) > 1 else ids[0],
+                               jnp.concatenate(deps) if len(deps) > 1 else deps[0],
+                               hw)
+
+    # flatten candidate attributes across streams
+    def cat(get):
+        parts = [get(e) for e in entries_list]
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    cand_p = cat(lambda e: e.proj.p_c)
+    cand_n = cat(lambda e: e.proj.n_c)
+    cand_r = cat(lambda e: e.data.radius)
+    cand_lab = cat(lambda e: e.data.sem_label)
+    cand_prob = cat(lambda e: e.data.sem_prob)
+
+    rays = pixel_rays(cfg).reshape(hw, 3)
+    win_grid = winner.reshape(h, w)
+
+    # neighborhood gather: for each pixel, test the 9 surrounding cells'
+    # winning surfels against this pixel's ray
+    best_t = jnp.full((hw,), jnp.inf, jnp.float32)
+    best_i = jnp.full((hw,), -1, jnp.int32)
+    for dy in (-1, 0, 1):
+        rolled = jnp.roll(win_grid, -dy, axis=0)
+        if dy == 1:
+            rolled = rolled.at[h - 1].set(-1)
+        elif dy == -1:
+            rolled = rolled.at[0].set(-1)
+        for dx in (-1, 0, 1):
+            cand = jnp.roll(rolled, -dx, axis=1).reshape(hw)
+            safe = jnp.maximum(cand, 0)
+            p = cand_p[safe]
+            n = cand_n[safe]
+            r = cand_r[safe]
+            denom = jnp.sum(n * rays, axis=-1)
+            t = jnp.sum(n * p, axis=-1) / jnp.where(
+                jnp.abs(denom) < 1e-9, 1e-9, denom)
+            hit = jnp.linalg.norm(rays * t[:, None] - p, axis=-1) <= r
+            ok = (cand >= 0) & hit & (t > cfg.min_depth) & (t < cfg.max_depth)
+            closer = ok & (t < best_t)
+            best_t = jnp.where(closer, t, best_t)
+            best_i = jnp.where(closer, cand, best_i)
+
+    got = best_i >= 0
+    safe = jnp.maximum(best_i, 0)
+    vert = jnp.where(got[:, None], cand_p[safe], 0.0).reshape(h, w, 3)
+    norm = jnp.where(got[:, None], cand_n[safe], 0.0).reshape(h, w, 3)
+    lab = jnp.where(got, cand_lab[safe], 0).reshape(h, w)
+    prob = jnp.where(got, cand_prob[safe], 0.0).reshape(h, w)
+    okg = got.reshape(h, w)
+    return Maps(vertex=vert, normal=norm, vertex_valid=okg, normal_valid=okg,
                 sem_label=lab, sem_prob=prob)
+
+
+def render_view(data: SurfelData, pose: jnp.ndarray, cfg: DataConfig,
+                map_cfg: MapConfig, conf_threshold, ts_threshold,
+                which: str = "new") -> Maps:
+    """Render model maps from a set of surfels at the given view pose."""
+    pose_inv = lie.se3_inverse(pose.astype(jnp.float32))
+    proj = _project_surfels(data, pose_inv, cfg)
+    sel = _selection(data, proj, map_cfg, conf_threshold, ts_threshold, which)
+    return _resolve_maps([RenderEntries(data, proj, sel)], cfg)
 
 
 def render_maps(state: MapState, pose: jnp.ndarray, cfg: DataConfig,
                 map_cfg: MapConfig, conf_threshold, ts_threshold,
-                render_old: bool = False, footprint: int = 1) -> Maps:
-    """Render model vertex/normal/semantic maps from the view pose."""
-    from ..utils.lie import se3_inverse
-    pose_inv = se3_inverse(pose)
-    ids, depth = _splat_entries(state, pose_inv, cfg, conf_threshold,
-                                ts_threshold, render_old, map_cfg, footprint)
-    cap = state.data.position.shape[0]
-    winner, _ = zbuffer_argmin(ids, depth, cfg.height * cfg.width)
-    # winner indexes the concatenated splat stream; reduce to surfel index
-    return _winner_to_maps(winner, state, pose_inv, cfg, footprint)
+                render_old: bool = False) -> Maps:
+    """Full-map render (builds an active view around the pose internally)."""
+    view = build_active(state, pose[:3, 3].astype(jnp.float32), map_cfg)
+    return render_view(view.data, pose, cfg, map_cfg, conf_threshold,
+                       ts_threshold, "old" if render_old else "new")
 
 
 def render_composed(state: MapState, pose_old: jnp.ndarray,
                     pose_new: jnp.ndarray, cfg: DataConfig,
-                    map_cfg: MapConfig, conf_threshold, ts_threshold,
-                    footprint: int = 1) -> Maps:
+                    map_cfg: MapConfig, conf_threshold, ts_threshold) -> Maps:
     """Depth-merged render: old surfels from pose_old + new surfels from
     pose_new into one z-buffer (SurfelMap.cpp:896-909 composed pass)."""
-    from ..utils.lie import se3_inverse
-    inv_old = se3_inverse(pose_old)
-    inv_new = se3_inverse(pose_new)
-    ids_o, dep_o = _splat_entries(state, inv_old, cfg, conf_threshold,
-                                  ts_threshold, True, map_cfg, footprint)
-    ids_n, dep_n = _splat_entries(state, inv_new, cfg, conf_threshold,
-                                  ts_threshold, False, map_cfg, footprint)
-    ids = jnp.concatenate([ids_o, ids_n])
-    dep = jnp.concatenate([dep_o, dep_n])
-    winner, _ = zbuffer_argmin(ids, dep, cfg.height * cfg.width)
-    n_old = ids_o.shape[0]
-    # attributes must come from the matching view pose
-    old_maps = _winner_to_maps(jnp.where(winner < n_old, winner, -1),
-                               state, inv_old, cfg, footprint)
-    new_maps = _winner_to_maps(jnp.where(winner >= n_old, winner - n_old, -1),
-                               state, inv_new, cfg, footprint)
-    use_new = new_maps.vertex_valid
-    return Maps(
-        vertex=jnp.where(use_new[..., None], new_maps.vertex, old_maps.vertex),
-        normal=jnp.where(use_new[..., None], new_maps.normal, old_maps.normal),
-        vertex_valid=use_new | old_maps.vertex_valid,
-        normal_valid=use_new | old_maps.normal_valid,
-        sem_label=jnp.where(use_new, new_maps.sem_label, old_maps.sem_label),
-        sem_prob=jnp.where(use_new, new_maps.sem_prob, old_maps.sem_prob))
+    view = build_active(state, pose_new[:3, 3].astype(jnp.float32), map_cfg)
+    inv_old = lie.se3_inverse(pose_old.astype(jnp.float32))
+    inv_new = lie.se3_inverse(pose_new.astype(jnp.float32))
+    proj_o = _project_surfels(view.data, inv_old, cfg)
+    proj_n = _project_surfels(view.data, inv_new, cfg)
+    sel_o = _selection(view.data, proj_o, map_cfg, conf_threshold,
+                       ts_threshold, "old")
+    sel_n = _selection(view.data, proj_n, map_cfg, conf_threshold,
+                       ts_threshold, "new")
+    return _resolve_maps([RenderEntries(view.data, proj_o, sel_o),
+                          RenderEntries(view.data, proj_n, sel_n)], cfg)
 
 
 def compose_views(old: Maps, new: Maps, max_distance: float) -> Maps:
     """Merge old/new model views (render_compose.frag:26-48): prefer the new
     view; fall back to the old where new is invalid and the old vertex is
-    within max_distance of the (invalid) new vertex."""
+    within max_distance."""
     new_ok = new.vertex_valid & new.normal_valid
     old_ok = old.vertex_valid & old.normal_valid
     dist = jnp.linalg.norm(new.vertex - old.vertex, axis=-1)
@@ -294,14 +373,32 @@ def compose_views(old: Maps, new: Maps, max_distance: float) -> Maps:
         sem_prob=jnp.where(take_old, old.sem_prob, new.sem_prob))
 
 
+def render_index_map(state: MapState, pose_inv: jnp.ndarray,
+                     cfg: DataConfig) -> jnp.ndarray:
+    """[H, W] int32 nearest visible surfel (global row) per pixel, -1 none
+    (gen_indexmap.vert: point-based depth-buffered id render). The hot path
+    uses :func:`_index_winner` on the active view instead."""
+    return _index_winner(state.data, pose_inv, cfg).reshape(
+        cfg.height, cfg.width)
+
+
+def _index_winner(data: SurfelData, pose_inv: jnp.ndarray,
+                  cfg: DataConfig) -> jnp.ndarray:
+    """Winner row (into `data`) per pixel for data association (-1 = none)."""
+    proj = _project_surfels(data, pose_inv, cfg)
+    ok = data.valid & proj.visible & proj.inside
+    ids = jnp.where(ok, proj.py * cfg.width + proj.px, -1)
+    winner, _ = zbuffer_argmin(ids, proj.depth, cfg.height * cfg.width)
+    return winner
+
+
 # ---------------------------------------------------------------------------
-# map update: association + fusion + creation (the reference's
-# renderIndexmap -> updateSurfels -> gen_surfels -> copy_surfels sequence)
+# map update: association + fusion + creation
 # ---------------------------------------------------------------------------
 
 def _slerp(v0: jnp.ndarray, v1: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Spherical interpolation of unit normals (update_surfels.vert:113-124;
-    note the reference's 'weight' is the weight of v0)."""
+    the reference's 'weight' is the weight of v0)."""
     d = jnp.clip(jnp.sum(v0 * v1, axis=-1), -1.0, 1.0)
     omega = jnp.arccos(d)
     so = jnp.sin(omega)
@@ -313,26 +410,14 @@ def _slerp(v0: jnp.ndarray, v1: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
 
 
-def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
-               timestamp, data_cfg: DataConfig, map_cfg: MapConfig,
-               confidence_threshold, semantic: bool = True):
-    """Fuse one preprocessed scan into the map at the given (world<-sensor)
-    pose. Returns the new MapState.
-
-    Pipeline (all fused into one jitted program by the caller):
-      1. index map render (nearest visible surfel per pixel)
-      2. per-surfel association + update (update_surfels.vert math)
-      3. per-pixel integrated flags -> new-surfel creation (gen_surfels)
-      4. append via prefix-sum offsets; cull by stability
-    """
-    from ..utils.lie import se3_inverse
-    d = state.data
-    cap = d.position.shape[0]
+def _update_view(view: ActiveView, frame: FrameInputs, pose: jnp.ndarray,
+                 pose_inv: jnp.ndarray, poses: jnp.ndarray, ts,
+                 data_cfg: DataConfig, map_cfg: MapConfig,
+                 confidence_threshold, semantic: bool):
+    """Branch-free per-surfel update over the active view
+    (update_surfels.vert math). Returns (updated SurfelData, compatible)."""
+    d = view.data
     h, w = data_cfg.height, data_cfg.width
-    pose = pose.astype(jnp.float32)
-    pose_inv = se3_inverse(pose)
-    ts = jnp.asarray(timestamp, jnp.int32)
-
     maps = frame.maps
     vmap_flat = maps.vertex.reshape(-1, 3)
     nmap_flat = maps.normal.reshape(-1, 3)
@@ -340,21 +425,12 @@ def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     sem_label_flat = maps.sem_label.reshape(-1)
     sem_prob_flat = maps.sem_prob.reshape(-1)
     radius_flat = frame.radius.reshape(-1)
-    radius_valid_flat = frame.radius_valid.reshape(-1)
 
-    index_map = render_index_map(state, pose_inv, data_cfg).reshape(-1)
+    proj = _project_surfels(d, pose_inv, data_cfg, facing_eps=0.0)
+    pid = proj.py * w + proj.px
 
-    # ---- per-surfel update --------------------------------------------------
-    p_c, n_c = _to_sensor(pose_inv, d.wpos, d.wnormal)
-    depth_s = jnp.linalg.norm(p_c, axis=-1)
-    visible = jnp.sum(n_c * (-p_c), axis=-1) / jnp.maximum(depth_s, 1e-12) > 0.0
-    px, py, _, inside = _project_px(p_c, cfg=data_cfg)
-    pid = py * w + px
+    observed = d.valid & proj.visible & proj.inside & vvalid_flat[pid]
 
-    m_valid = vvalid_flat[pid]
-    observed = d.valid & visible & inside & m_valid
-
-    # measurement at the surfel's pixel
     v_meas = vmap_flat[pid]
     n_meas = nmap_flat[pid]
     v_g = v_meas @ pose[:3, :3].T + pose[:3, 3]
@@ -366,26 +442,27 @@ def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     angle_thresh = math.sin(math.radians(map_cfg.map_max_angle))
     compatible = observed & (dist < map_cfg.max_distance) & (angle < angle_thresh)
 
-    # semantic penalty: movable-class surfel whose label disagrees with the
-    # measurement loses 1.0 log-odds (update_surfels.vert:183-195,324)
+    # semantic penalty (update_surfels.vert:183-195,324)
     d_label = sem_label_flat[pid]
     d_prob = sem_prob_flat[pid]
     mismatch = d_label != d.sem_label
-    penalty = jnp.where(observed & mismatch & is_movable(d.sem_label)
-                        & jnp.asarray(semantic), 1.0, 0.0)
+    penalty = jnp.where(
+        observed & mismatch & is_movable(d.sem_label) & jnp.asarray(semantic),
+        1.0, 0.0)
 
     # odds update (static-state Bayes filter, update_surfels.vert:326-333)
-    p_up = map_cfg.p_stable * jnp.where(
-        map_cfg.confidence_mode in (1, 3),
-        jnp.exp(-angle * angle / (map_cfg.sigma_angle ** 2)), 1.0)
-    p_up = p_up * jnp.where(
-        map_cfg.confidence_mode in (2, 3),
-        jnp.exp(-dist * dist / (map_cfg.sigma_distance ** 2)), 1.0)
+    p_up = jnp.full(dist.shape, map_cfg.p_stable, jnp.float32)
+    if map_cfg.confidence_mode in (1, 3):
+        p_up = p_up * jnp.exp(-angle * angle / (map_cfg.sigma_angle ** 2))
+    if map_cfg.confidence_mode in (2, 3):
+        p_up = p_up * jnp.exp(-dist * dist / (map_cfg.sigma_distance ** 2))
     p_up = jnp.clip(p_up, map_cfg.p_unstable, 1.0)
     log_odds_up = jnp.log(p_up / (1.0 - p_up))
 
-    # non-matching closest visible surfel gets an odds decrease
-    closest = index_map[pid] == jnp.arange(cap)
+    # the nearest visible surfel at a non-matching pixel loses odds
+    winner = _index_winner(d, pose_inv, data_cfg)
+    act = d.position.shape[0]
+    closest = winner[jnp.minimum(pid, h * w - 1)] == jnp.arange(act)
     update_conf = jnp.where(
         compatible, log_odds_up,
         jnp.where(observed & closest, map_cfg.log_unstable, map_cfg.log_prior))
@@ -397,16 +474,14 @@ def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
                     map_cfg.stability_upper_bound),
         d.confidence)
 
-    # geometry integration gate: measurement sharper (smaller radius) and the
-    # surfel still young (update_surfels.vert:245), or update_always
     new_radius_meas = radius_flat[pid]
     young = (ts - d.creation_ts) < 100  # active_timestamps (SurfelMap.cpp:357)
-    integrate = compatible & ((new_radius_meas < d.radius) & young
+    integrate = compatible & (((new_radius_meas < d.radius) & young)
                               | jnp.asarray(map_cfg.update_always))
 
     if map_cfg.weighting_scheme == 0:
-        w1 = jnp.full((cap,), 0.9, jnp.float32)
-        w2 = jnp.full((cap,), 0.1, jnp.float32)
+        w1 = jnp.full((act,), 0.9, jnp.float32)
+        w2 = jnp.full((act,), 0.1, jnp.float32)
         new_weight = d.weight
     else:
         w1 = d.weight
@@ -430,9 +505,8 @@ def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
                          w1 * d.sem_prob + w2 * (1.0 - d_prob),
                          w1 * d.sem_prob + w2 * d_prob)
 
-    # transform averaged geometry back into the creation frame
-    creation_pose = state.poses[jnp.clip(d.creation_ts, 0,
-                                         state.poses.shape[0] - 1)]
+    # back into the creation frame (rare gather: only active rows)
+    creation_pose = poses[jnp.clip(d.creation_ts, 0, poses.shape[0] - 1)]
     cp_r = creation_pose[:, :3, :3]
     cp_t = creation_pose[:, :3, 3]
     local_pos = jnp.einsum("nji,nj->ni", cp_r, avg_pos_w - cp_t)
@@ -453,10 +527,9 @@ def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
         sem_prob=jnp.where(integrate, avg_prob, d.sem_prob),
     )
 
-    # cull (update_surfels.vert:156-157,332): an unstable surfel that has not
-    # been updated for unstable_age scans dies (checked on the *old*
-    # confidence/timestamp; a compatible match always revalidates), and any
-    # surfel whose updated odds drop below log_unstable dies
+    # cull (update_surfels.vert:156-157,332): checked on the *old*
+    # confidence/timestamp; a compatible match always revalidates; updated
+    # odds below log_unstable always kill
     alive = data2.valid
     if map_cfg.use_stability:
         unstable_old = (d.confidence < confidence_threshold) & (
@@ -465,68 +538,124 @@ def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
         alive = alive & (data2.confidence >= map_cfg.log_unstable)
     data2 = data2._replace(valid=alive)
 
-    # ---- integrated flags & creation ---------------------------------------
-    flag_ids = jnp.where(compatible, pid, h * w)
-    integrated = jnp.zeros((h * w,), jnp.int32).at[flag_ids].max(
+    return data2, compatible, pid
+
+
+def _make_new_surfels(frame: FrameInputs, pose: jnp.ndarray, ts,
+                      integrated: jnp.ndarray, map_cfg: MapConfig,
+                      semantic: bool):
+    """Per-pixel new-surfel records (gen_surfels.vert/geom)."""
+    maps = frame.maps
+    hw = integrated.shape[0]
+    vflat = maps.vertex.reshape(-1, 3)
+    nflat = maps.normal.reshape(-1, 3)
+    create = (maps.vertex_valid & maps.normal_valid).reshape(-1) \
+        & frame.radius_valid.reshape(-1) & ~integrated
+    labels = maps.sem_label.reshape(-1)
+    conf = jnp.where(jnp.asarray(semantic) & is_movable(labels),
+                     map_cfg.log_prior - 0.5, map_cfg.log_prior)
+    ts_arr = jnp.full((hw,), ts, jnp.int32)
+    data = SurfelData(
+        position=vflat, normal=nflat,
+        radius=frame.radius.reshape(-1),
+        confidence=conf, timestamp=ts_arr, creation_ts=ts_arr,
+        weight=jnp.ones((hw,), jnp.float32),
+        sem_label=labels, sem_prob=maps.sem_prob.reshape(-1),
+        valid=create,
+        wpos=vflat @ pose[:3, :3].T + pose[:3, 3],
+        wnormal=nflat @ pose[:3, :3].T)
+    return data, create
+
+
+def _append(state: MapState, new_data: SurfelData, create: jnp.ndarray):
+    cap = state.data.position.shape[0]
+    slots = state.count + jnp.cumsum(create.astype(jnp.int32)) - 1
+    slots = jnp.where(create & (slots < cap), slots, cap)
+
+    def put(dst, src):
+        return dst.at[slots].set(src, mode="drop", unique_indices=True)
+
+    data = jax.tree.map(put, state.data, new_data)
+    n_created = jnp.sum(create & (slots < cap))
+    new_count = jnp.minimum(state.count + jnp.sum(create),
+                            cap).astype(jnp.int32)
+    return state._replace(data=data, count=new_count), n_created
+
+
+def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
+                    timestamp, data_cfg: DataConfig, map_cfg: MapConfig,
+                    confidence_threshold, render_ts_threshold,
+                    semantic: bool = True):
+    """Full per-scan map update + post-update model render, sharing the
+    active view (the fused updateMap + next-scan render of the reference).
+
+    Returns (new_state, model_maps, n_created).
+    """
+    pose = pose.astype(jnp.float32)
+    pose_inv = lie.se3_inverse(pose)
+    ts = jnp.asarray(timestamp, jnp.int32)
+
+    view = build_active(state, pose[:3, 3], map_cfg)
+    data2, compatible, pid = _update_view(
+        view, frame, pose, pose_inv, state.poses, ts, data_cfg, map_cfg,
+        confidence_threshold, semantic)
+    view2 = ActiveView(idx=view.idx, data=data2)
+
+    # integrated-pixel flags: any compatible surfel marks its pixel
+    hw = data_cfg.height * data_cfg.width
+    flag_ids = jnp.where(compatible, pid, hw)
+    integrated = jnp.zeros((hw,), jnp.int32).at[flag_ids].max(
         1, mode="drop").astype(bool)
 
-    create = vvalid_flat & radius_valid_flat & ~integrated
-    # front-facing check already inside radius_valid (init gate)
+    new_data, create = _make_new_surfels(frame, pose, ts, integrated,
+                                         map_cfg, semantic)
 
-    n_new_prior = jnp.where(
-        jnp.asarray(semantic) & is_movable(sem_label_flat),
-        map_cfg.log_prior - 0.5, map_cfg.log_prior)
+    state2 = scatter_back(state, view2)
+    state2, n_created = _append(state2, new_data, create)
+    new_poses = state2.poses.at[
+        jnp.clip(ts, 0, state2.poses.shape[0] - 1)].set(pose)
+    state2 = state2._replace(poses=new_poses)
 
-    slots = state.count + jnp.cumsum(create.astype(jnp.int32)) - 1
-    slots = jnp.where(create & (slots < cap), slots, cap)  # drop on overflow
+    # post-update render at the same pose: updated active view + the scan's
+    # new surfels as a second candidate stream (no second active-view pass)
+    proj_a = _project_surfels(data2, pose_inv, data_cfg)
+    sel_a = _selection(data2, proj_a, map_cfg, confidence_threshold,
+                       render_ts_threshold, "new")
+    proj_n = _project_surfels(new_data, pose_inv, data_cfg)
+    sel_n = _selection(new_data, proj_n, map_cfg, confidence_threshold,
+                       render_ts_threshold, "new")
+    model_maps = _resolve_maps([RenderEntries(data2, proj_a, sel_a),
+                                RenderEntries(new_data, proj_n, sel_n)],
+                               data_cfg)
+    return state2, model_maps, n_created
 
-    v_new_w = vmap_flat @ pose[:3, :3].T + pose[:3, 3]
-    n_new_w = nmap_flat @ pose[:3, :3].T
 
-    def put(arr, vals):
-        return arr.at[slots].set(vals, mode="drop", unique_indices=True)
-
-    data3 = data2._replace(
-        position=put(data2.position, vmap_flat),
-        normal=put(data2.normal, nmap_flat),
-        wpos=put(data2.wpos, v_new_w),
-        wnormal=put(data2.wnormal, n_new_w),
-        radius=put(data2.radius, radius_flat),
-        confidence=put(data2.confidence, n_new_prior),
-        timestamp=put(data2.timestamp, jnp.full((h * w,), ts)),
-        creation_ts=put(data2.creation_ts, jnp.full((h * w,), ts)),
-        weight=put(data2.weight, jnp.ones((h * w,), jnp.float32)),
-        sem_label=put(data2.sem_label, sem_label_flat),
-        sem_prob=put(data2.sem_prob, sem_prob_flat),
-        valid=put(data2.valid, jnp.ones((h * w,), bool)),
-    )
-    n_created = jnp.sum(create & (slots < cap))
-    new_count = jnp.minimum(state.count + jnp.sum(create), cap).astype(jnp.int32)
-
-    new_poses = state.poses.at[jnp.clip(ts, 0, state.poses.shape[0] - 1)].set(pose)
-    return MapState(data=data3, count=new_count, poses=new_poses), n_created
+def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
+               timestamp, data_cfg: DataConfig, map_cfg: MapConfig,
+               confidence_threshold, semantic: bool = True):
+    """Map update without the fused render (compatibility/test entry)."""
+    state2, _, n_created = fuse_and_render(
+        state, frame, pose, timestamp, data_cfg, map_cfg,
+        confidence_threshold, jnp.asarray(timestamp, jnp.int32) + 1,
+        semantic)
+    return state2, n_created
 
 
 def compact(state: MapState) -> MapState:
     """Stream-compact valid surfels to the front (the reference's
-    copy_surfels transform-feedback compaction, run here only when the
-    high-water mark nears capacity)."""
+    copy_surfels transform-feedback compaction, run when the high-water mark
+    nears capacity)."""
     d = state.data
     cap = d.position.shape[0]
     order = jnp.cumsum(d.valid.astype(jnp.int32)) - 1
     slots = jnp.where(d.valid, order, cap)
 
-    def move(arr, fill=0):
-        out = jnp.full_like(arr, fill)
+    def move(arr):
+        fill = jnp.zeros((), arr.dtype)
+        out = jnp.full(arr.shape, fill, arr.dtype)
         return out.at[slots].set(arr, mode="drop", unique_indices=True)
 
-    data = SurfelData(
-        position=move(d.position), normal=move(d.normal),
-        radius=move(d.radius), confidence=move(d.confidence),
-        timestamp=move(d.timestamp), creation_ts=move(d.creation_ts),
-        weight=move(d.weight), sem_label=move(d.sem_label),
-        sem_prob=move(d.sem_prob),
-        valid=move(d.valid, False), wpos=move(d.wpos), wnormal=move(d.wnormal))
+    data = jax.tree.map(move, d)
     return MapState(data=data, count=jnp.sum(d.valid).astype(jnp.int32),
                     poses=state.poses)
 

@@ -100,16 +100,16 @@ def test_confidence_rises_and_culls():
     conf = np.asarray(state.data.confidence)[valid]
     assert np.mean(conf > MCFG.log_prior + 1.0) > 0.7
 
-    # now feed scans from far away (nothing visible overlaps): unstable
-    # surfels (below threshold) older than unstable_age are culled
-    far = lie.se3_exp(jnp.asarray([500.0, 0, 0, 0, 0, 0]))
-    far_scan = render_scan(default_world(seed=5), far, CFG)
+    # now feed empty scans from the same pose (no measurements): surfels in
+    # the active window below the confidence threshold and older than
+    # unstable_age are culled (update_surfels.vert:156-157)
+    empty = scan._replace(valid=jnp.zeros_like(scan.valid))
     n_before = int(jnp.sum(state.data.valid))
     for t in range(4, 10):
-        state, _ = ingest(state, far_scan, far, t, conf_thresh=10.0)
+        state, _ = ingest(state, empty, pose, t, conf_thresh=25.0)
     n_after = int(jnp.sum(state.data.valid))
-    # with a high confidence threshold everything unstable should be culled
-    assert n_after < n_before
+    # with an impossibly high confidence threshold everything decays away
+    assert n_after < 0.1 * n_before, (n_before, n_after)
 
 
 def test_movable_penalty_removes_dynamic_surfels():
