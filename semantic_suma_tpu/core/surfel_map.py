@@ -413,7 +413,8 @@ def _slerp(v0: jnp.ndarray, v1: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 def _update_view(view: ActiveView, frame: FrameInputs, pose: jnp.ndarray,
                  pose_inv: jnp.ndarray, poses: jnp.ndarray, ts,
                  data_cfg: DataConfig, map_cfg: MapConfig,
-                 confidence_threshold, semantic: bool):
+                 confidence_threshold, semantic: bool,
+                 index_winner_override=None):
     """Branch-free per-surfel update over the active view
     (update_surfels.vert math). Returns (updated SurfelData, compatible)."""
     d = view.data
@@ -460,9 +461,15 @@ def _update_view(view: ActiveView, frame: FrameInputs, pose: jnp.ndarray,
     log_odds_up = jnp.log(p_up / (1.0 - p_up))
 
     # the nearest visible surfel at a non-matching pixel loses odds
-    winner = _index_winner(d, pose_inv, data_cfg)
     act = d.position.shape[0]
-    closest = winner[jnp.minimum(pid, h * w - 1)] == jnp.arange(act)
+    pid_safe = jnp.minimum(pid, h * w - 1)
+    if index_winner_override is None:
+        winner = _index_winner(d, pose_inv, data_cfg)
+        closest = winner[pid_safe] == jnp.arange(act)
+    else:  # sharded: (local winner per pixel, this-shard-wins-globally mask)
+        local_winner, i_am_winner = index_winner_override
+        closest = i_am_winner[pid_safe] & (
+            local_winner[pid_safe] == jnp.arange(act))
     update_conf = jnp.where(
         compatible, log_odds_up,
         jnp.where(observed & closest, map_cfg.log_unstable, map_cfg.log_prior))

@@ -1,0 +1,109 @@
+"""Segmenter (RangeNet-class) tests: shapes, training convergence on a
+synthetic segmentation task, KNN cleanup, per-point label interface."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_suma_tpu.config import DataConfig
+from semantic_suma_tpu.io.simulation import default_world, render_scan
+from semantic_suma_tpu.models import rangenet as rn
+from semantic_suma_tpu.models.labels import TRAIN_CLASSES, raw_to_train
+from semantic_suma_tpu.models.segmenter import (Segmenter, create_train_state,
+                                                make_train_step)
+from semantic_suma_tpu.ops.projection import project_scan
+
+CFG = DataConfig(width=96, height=16)
+
+
+def test_forward_shapes():
+    model = rn.small_rangenet()
+    x = jnp.zeros((2, 16, 96, 5))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 16, 96, len(TRAIN_CLASSES))
+    assert y.dtype == jnp.float32
+
+
+def test_forward_non_multiple_width():
+    """Width 900 is not a multiple of the stride; wrap-padding must handle."""
+    model = rn.small_rangenet()
+    x = jnp.zeros((1, 16, 90, 5))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 16, 90, len(TRAIN_CLASSES))
+
+
+def make_batch(key, n=2):
+    """Synthetic task: segment the raycast world's range images."""
+    world = default_world(seed=3)
+    imgs, labs, vals = [], [], []
+    for i in range(n):
+        ang = 2 * np.pi * i / max(n, 1)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [5 * np.cos(ang), 5 * np.sin(ang), 0.0]
+        scan = render_scan(default_world(seed=3), jnp.asarray(pose), CFG)
+        res = project_scan(scan.points, scan.labels, scan.probs, cfg=CFG,
+                           point_valid=scan.valid)
+        imgs.append(rn.make_input(res.vertex_map, res.depth_map,
+                                  res.remission, res.vertex_valid))
+        labs.append(raw_to_train(res.sem_label))
+        vals.append(res.vertex_valid & (res.sem_label > 0))
+    return (jnp.stack(imgs), jnp.stack(labs), jnp.stack(vals))
+
+
+def test_training_learns_synthetic_task():
+    model = rn.small_rangenet()
+    tx, state = create_train_state(model, jax.random.PRNGKey(0),
+                                   (1, CFG.height, CFG.width, 5),
+                                   learning_rate=2e-3)
+    step = jax.jit(make_train_step(model, tx))
+    images, labels, valid = make_batch(jax.random.PRNGKey(1), n=2)
+    first_loss = None
+    for i in range(30):
+        state, metrics = step(state, images, labels, valid)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    final_loss = float(metrics["loss"])
+    final_acc = float(metrics["accuracy"])
+    assert final_loss < 0.5 * first_loss, (first_loss, final_loss)
+    assert final_acc > 0.8, final_acc
+
+
+def test_knn_clean_majority():
+    class_img = jnp.asarray(np.full((8, 12), 3, np.int32))
+    depth_img = jnp.full((8, 12), 10.0)
+    px = jnp.asarray([5], jnp.int32)
+    py = jnp.asarray([4], jnp.int32)
+    out = rn.knn_clean(px, py, jnp.asarray([10.0]),
+                       jnp.asarray([True]), class_img, depth_img)
+    assert int(out[0]) == 3
+    # far point (range gate kills all neighbors) falls back to pixel label
+    out2 = rn.knn_clean(px, py, jnp.asarray([50.0]),
+                        jnp.asarray([True]), class_img, depth_img)
+    assert int(out2[0]) == 3
+
+
+def test_segmenter_point_interface():
+    world = default_world(seed=1)
+    scan = render_scan(world, jnp.eye(4), CFG)
+    seg = Segmenter(CFG, use_knn=False)
+    labels, probs = seg(scan.points)
+    assert labels.shape == scan.points.shape[:1]
+    assert probs.shape == scan.points.shape[:1]
+    labs = np.asarray(labels)
+    # raw SemanticKITTI ids (members of the train set)
+    assert set(np.unique(labs)).issubset(set(TRAIN_CLASSES) | {0})
+    p = np.asarray(probs)
+    assert (p >= 0).all() and (p <= 1).all()
+
+
+def test_segmenter_save_load(tmp_path):
+    seg = Segmenter(CFG, use_knn=False)
+    path = str(tmp_path / "weights.pkl")
+    seg.save(path)
+    seg2 = Segmenter.load(path, CFG, use_knn=False)
+    world = default_world(seed=1)
+    scan = render_scan(world, jnp.eye(4), CFG)
+    l1, p1 = seg(scan.points)
+    l2, p2 = seg2(scan.points)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
