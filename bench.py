@@ -1,0 +1,75 @@
+"""Benchmark: full per-scan SLAM pipeline throughput on one TPU chip.
+
+Workload: the reference's operating point (SURVEY §6) — 64x900 range image,
+frame-to-model projective ICP (<=33 GN iterations), semantic surfel fusion,
+model re-render — on synthetic raycast scans along a circular trajectory.
+
+Prints ONE JSON line: scans/s vs the 10 Hz real-time sensor rate that the
+reference targets (its GUI playback is fixed at 10 Hz,
+``VisualizerWindow.cpp:408-409``; the IROS'19 system is "real-time" = 10
+scans/s on a desktop GPU).
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_suma_tpu.config import MapConfig, SumaConfig
+    from semantic_suma_tpu.core.pipeline import init_state, odometry_step
+    from semantic_suma_tpu.io.simulation import (circular_trajectory,
+                                                 default_world, render_scan)
+
+    cfg = SumaConfig(map=MapConfig(surfel_capacity=1 << 21,
+                                   active_capacity=1 << 18,
+                                   max_poses=8192))
+
+    n_warmup, n_timed = 8, 60
+    world = default_world(seed=0, extent=45.0)
+    gt = circular_trajectory(n_warmup + n_timed, radius=18.0)
+
+    # pre-generate scans on device (not part of the timed region)
+    gen = jax.jit(lambda pose: render_scan(world, pose, cfg.data))
+    scans = [jax.tree.map(lambda a: a.copy(), gen(gt[i]))
+             for i in range(n_warmup + n_timed)]
+    jax.block_until_ready(scans[-1].points)
+
+    step = jax.jit(odometry_step, static_argnames=("cfg",),
+                   donate_argnums=(0,))
+
+    state = init_state(cfg)
+    ct = jnp.asarray(-2.0, jnp.float32)
+    for i in range(n_warmup):
+        s = scans[i]
+        state, info = step(state, s.points, s.labels, s.probs, s.valid,
+                           ct, cfg)
+    float(info.pose[0, 3])  # sync
+
+    t0 = time.perf_counter()
+    for i in range(n_warmup, n_warmup + n_timed):
+        s = scans[i]
+        state, info = step(state, s.points, s.labels, s.probs, s.valid,
+                           ct, cfg)
+    float(info.pose[0, 3])  # sync once at the end
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = n_timed / dt
+    baseline = 10.0  # reference real-time rate (10 Hz KITTI sensor)
+    result = {
+        "metric": "slam_scans_per_sec",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s (64x900 frame-to-model ICP + semantic fusion, 1 chip)",
+        "vs_baseline": round(scans_per_sec / baseline, 2),
+    }
+    print(json.dumps(result))
+    # extra context for humans, not parsed by the driver
+    print(f"# {n_timed} scans in {dt:.2f}s; map surfels={int(info.map_count)}; "
+          f"mean GN iters={float(info.iterations):.0f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

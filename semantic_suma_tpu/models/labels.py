@@ -75,7 +75,12 @@ def _color_lut() -> np.ndarray:
     return lut
 
 
-_MOVABLE_LUT = jnp.asarray(_movable_lut())
+# NOTE: keep lookup tables as HOST numpy arrays. A module-level jnp.asarray
+# would allocate them on the default accelerator at import time, and every
+# jit lowering that captures them as constants would then fetch them back
+# from the device — pathologically slow through a remote-TPU tunnel.
+# jnp.asarray(np_array) inside a traced function embeds a host constant.
+_MOVABLE_LUT = _movable_lut()
 _COLOR_LUT = _color_lut()
 
 # train id <-> raw label lookup tables
@@ -93,7 +98,7 @@ for _mov, _stat in ((252, 10), (253, 30), (254, 32), (255, 16), (256, 31),
 def is_movable(labels: jnp.ndarray) -> jnp.ndarray:
     """Elementwise movable-class test (branch-free LUT gather)."""
     idx = jnp.clip(labels.astype(jnp.int32), 0, MAX_LABEL - 1)
-    return _MOVABLE_LUT[idx]
+    return jnp.asarray(_MOVABLE_LUT)[idx]
 
 
 def label_colors(labels: np.ndarray) -> np.ndarray:
