@@ -71,10 +71,13 @@ struct Loader {
   void run() {
     std::unique_lock<std::mutex> lk(mu);
     while (!stop.load()) {
-      // find the next index in [target, target+depth] not yet loaded
+      // find the next index in [target, target+depth-1] not yet loaded.
+      // The window is `depth` wide while the ring has depth+1 slots, so the
+      // consumer's most-recent result (slot of target-1) is never recycled
+      // while Python still holds its pointer.
       int64_t todo = -1;
       for (int64_t i = target;
-           i <= target + depth && i < static_cast<int64_t>(paths.size());
+           i < target + depth && i < static_cast<int64_t>(paths.size());
            ++i) {
         Slot* s = slot_for(i);
         if (s->index != i || !s->ready) {

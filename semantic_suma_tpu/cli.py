@@ -1,0 +1,271 @@
+"""Headless command-line driver.
+
+The reference has NO headless mode — its Qt GUI is the only entry point and
+batch evaluation means clicking play and exporting poses
+(``/root/reference/src/visualizer/visualizer.cpp``,
+``VisualizerWindow.cpp:848-891``). This CLI provides the batch path:
+
+  python -m semantic_suma_tpu.cli run --dataset /path/to/sequences/00 \
+      --export-poses est.txt --eval --save-map map.ply
+  python -m semantic_suma_tpu.cli run --synthetic 200 --eval
+  python -m semantic_suma_tpu.cli eval --gt poses/00.txt --est est.txt
+  python -m semantic_suma_tpu.cli train-segmenter --dataset ... --out w.pkl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--config", help="reference-format XML config file")
+    p.add_argument("--approach", choices=["frame-to-model", "frame-to-frame"],
+                   default=None)
+    p.add_argument("--no-semantics", action="store_true")
+    p.add_argument("--no-loop-closure", action="store_true")
+    p.add_argument("--max-scans", type=int, default=None)
+    p.add_argument("--surfel-capacity", type=int, default=1 << 21)
+    p.add_argument("--active-capacity", type=int, default=1 << 18)
+
+
+def build_config(args):
+    from .config import MapConfig, SumaConfig, config_from_xml
+    cfg = SumaConfig()
+    if args.config:
+        cfg = config_from_xml(args.config, cfg)
+    cfg = cfg.replace(map=MapConfig(
+        surfel_capacity=args.surfel_capacity,
+        active_capacity=args.active_capacity,
+        max_poses=max(8192, (args.max_scans or 8192))))
+    if args.approach:
+        cfg = cfg.replace(approach=args.approach)
+    if args.no_semantics:
+        cfg = cfg.replace(semantic=cfg.semantic.__class__(enabled=False))
+    if args.no_loop_closure:
+        cfg = cfg.replace(loop=cfg.loop.__class__(enabled=False))
+    return cfg
+
+
+def save_map_ply(path: str, state, min_confidence: float = 0.0) -> None:
+    """Export world-frame surfels as a PLY point cloud with normals,
+    radius, confidence and semantic color (the reference's renderMaps dump,
+    VisualizerWindow.cpp:815-840, minus the GUI)."""
+    from .models.labels import label_colors
+    d = state.map.data
+    valid = np.asarray(d.valid) & (np.asarray(d.confidence) >= min_confidence)
+    pos = np.asarray(d.wpos)[valid]
+    nrm = np.asarray(d.wnormal)[valid]
+    rad = np.asarray(d.radius)[valid]
+    conf = np.asarray(d.confidence)[valid]
+    lab = np.asarray(d.sem_label)[valid]
+    rgb = label_colors(lab)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {pos.shape[0]}\n")
+        for c in ("x", "y", "z", "nx", "ny", "nz"):
+            f.write(f"property float {c}\n")
+        f.write("property float radius\nproperty float confidence\n")
+        f.write("property uchar red\nproperty uchar green\n"
+                "property uchar blue\nend_header\n")
+        for i in range(pos.shape[0]):
+            f.write(f"{pos[i,0]:.4f} {pos[i,1]:.4f} {pos[i,2]:.4f} "
+                    f"{nrm[i,0]:.3f} {nrm[i,1]:.3f} {nrm[i,2]:.3f} "
+                    f"{rad[i]:.4f} {conf[i]:.3f} "
+                    f"{rgb[i,0]} {rgb[i,1]} {rgb[i,2]}\n")
+    print(f"wrote {pos.shape[0]} surfels to {path}")
+
+
+def cmd_run(args) -> int:
+    from .core.pipeline import SurfelSLAM
+    from .utils import metrics
+
+    cfg = build_config(args)
+    gt = None
+
+    if args.synthetic:
+        from .io.simulation import SimulationReader
+        n = args.synthetic
+        reader = SimulationReader(cfg.data, n_scans=n,
+                                  radius=args.synthetic_radius,
+                                  noise_sigma=args.noise,
+                                  step=args.synthetic_step)
+        gt = np.asarray(reader.poses)
+        count = n
+
+        def get_scan(i):
+            s = reader.read(i)
+            return s.points, s.labels, s.probs, s.valid
+    else:
+        from .io.kitti import KITTIReader
+        segmenter = None
+        if args.segmenter_weights:
+            from .models.segmenter import Segmenter
+            segmenter = Segmenter.load(args.segmenter_weights, cfg.data)
+        reader = KITTIReader(args.dataset, segmenter=segmenter,
+                             use_gt_labels=not args.no_gt_labels)
+        gt = reader.gt_poses()
+        count = reader.count()
+
+        def get_scan(i):
+            s = reader.read(i)
+            return s.points, s.labels, s.probs, None
+
+    count = min(count, args.max_scans or count)
+    slam = SurfelSLAM(cfg)
+    t0 = time.perf_counter()
+    for i in range(count):
+        pts, labels, probs, valid = get_scan(i)
+        stats = slam.process_scan(pts, labels, probs, valid)
+        if args.verbose and i % 10 == 0:
+            print(f"scan {i}/{count}: iters={stats['icp-iterations']} "
+                  f"map={stats['map-count']} "
+                  f"loops={stats.get('loop-closures', 0)}", file=sys.stderr)
+    wall = time.perf_counter() - t0
+    est = slam.trajectory()
+    print(f"processed {count} scans in {wall:.1f}s "
+          f"({count / wall:.2f} scans/s)")
+
+    if args.export_poses:
+        from .io.kitti import save_poses
+        tr = getattr(reader, "tr", None)
+        save_poses(args.export_poses, est, tr)
+        print(f"poses -> {args.export_poses}")
+
+    if args.stats_json:
+        with open(args.stats_json, "w") as f:
+            json.dump(slam.statistics, f)
+
+    if args.save_map:
+        save_map_ply(args.save_map, slam.state)
+
+    if args.eval and gt is not None:
+        res = metrics.evaluate(np.asarray(gt), est)
+        print(json.dumps(res, indent=2))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from .io.kitti import load_poses, parse_calib
+    from .utils import metrics
+    tr = parse_calib(args.calib).get("Tr") if args.calib else None
+    gt = load_poses(args.gt, tr)
+    est = load_poses(args.est, tr)
+    print(json.dumps(metrics.evaluate(gt, est), indent=2))
+    return 0
+
+
+def cmd_train_segmenter(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .io.kitti import KITTIReader
+    from .models import rangenet as rn
+    from .models.labels import raw_to_train
+    from .models.segmenter import (Segmenter, create_train_state,
+                                   make_train_step)
+    from .ops.projection import project_scan
+    from .config import DataConfig
+
+    cfg = DataConfig()
+    model = rn.small_rangenet() if args.small else rn.RangeNet()
+    tx, state = create_train_state(model, jax.random.PRNGKey(args.seed),
+                                   (1, cfg.height, cfg.width, 5),
+                                   learning_rate=args.lr)
+    step = jax.jit(make_train_step(model, tx))
+    reader = KITTIReader(args.dataset, use_gt_labels=True)
+    if reader.label_files is None:
+        print("ERROR: no SemanticKITTI labels found", file=sys.stderr)
+        return 1
+
+    proj = jax.jit(lambda p, l, r: project_scan(
+        p, l, remissions=r, cfg=cfg))
+    n = reader.count()
+    for epoch in range(args.epochs):
+        order = np.random.default_rng(epoch).permutation(n)
+        for bi in range(0, n - args.batch + 1, args.batch):
+            imgs, labs, vals = [], [], []
+            for j in order[bi:bi + args.batch]:
+                scan = reader.read(int(j))
+                res = proj(jnp.asarray(scan.points),
+                           jnp.asarray(scan.labels),
+                           jnp.asarray(scan.remissions))
+                imgs.append(rn.make_input(res.vertex_map, res.depth_map,
+                                          res.remission, res.vertex_valid))
+                labs.append(raw_to_train(res.sem_label))
+                vals.append(res.vertex_valid & (res.sem_label > 0))
+            state, m = step(state, jnp.stack(imgs), jnp.stack(labs),
+                            jnp.stack(vals))
+            if (bi // args.batch) % 10 == 0:
+                print(f"epoch {epoch} step {bi // args.batch}: "
+                      f"loss={float(m['loss']):.3f} "
+                      f"acc={float(m['accuracy']):.3f}", file=sys.stderr)
+        seg = Segmenter(cfg, model=model,
+                        variables={"params": state.params,
+                                   "batch_stats": state.batch_stats})
+        seg.save(args.out)
+        print(f"epoch {epoch}: weights -> {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="semantic_suma_tpu")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (overrides any plugin that "
+                         "set jax_platforms at import time)")
+    ap.add_argument("--cache-dir", default=None,
+                    help="persistent XLA compilation cache directory")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run SLAM over a sequence")
+    _add_common(runp)
+    runp.add_argument("--dataset", help="KITTI sequence directory")
+    runp.add_argument("--synthetic", type=int, default=None,
+                      help="use N synthetic raycast scans instead")
+    runp.add_argument("--synthetic-radius", type=float, default=18.0)
+    runp.add_argument("--synthetic-step", type=float, default=1.0,
+                      help="arc length per synthetic scan (m)")
+    runp.add_argument("--noise", type=float, default=0.0)
+    runp.add_argument("--segmenter-weights")
+    runp.add_argument("--no-gt-labels", action="store_true")
+    runp.add_argument("--export-poses")
+    runp.add_argument("--stats-json")
+    runp.add_argument("--save-map")
+    runp.add_argument("--eval", action="store_true")
+    runp.add_argument("--verbose", action="store_true")
+    runp.set_defaults(fn=cmd_run)
+
+    evalp = sub.add_parser("eval", help="evaluate a pose file against GT")
+    evalp.add_argument("--gt", required=True)
+    evalp.add_argument("--est", required=True)
+    evalp.add_argument("--calib")
+    evalp.set_defaults(fn=cmd_eval)
+
+    trainp = sub.add_parser("train-segmenter")
+    trainp.add_argument("--dataset", required=True)
+    trainp.add_argument("--out", required=True)
+    trainp.add_argument("--epochs", type=int, default=1)
+    trainp.add_argument("--batch", type=int, default=4)
+    trainp.add_argument("--lr", type=float, default=1e-3)
+    trainp.add_argument("--seed", type=int, default=0)
+    trainp.add_argument("--small", action="store_true")
+    trainp.set_defaults(fn=cmd_train_segmenter)
+
+    args = ap.parse_args(argv)
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if args.cmd == "run" and not (args.dataset or args.synthetic):
+        ap.error("run requires --dataset or --synthetic")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -226,6 +226,10 @@ class LoopCloser:
         half[0, 3] *= 0.5
         half[1, 3] *= 0.5
 
+        # mirror SurfelMapping.cpp:697-779: a candidate is pushed whenever
+        # the valid/outlier-ratio gates pass for the best initialization;
+        # the residual test only decides whether the old-frame pose anchor
+        # jumps to the ICP estimate (else it stays at the odometry pose)
         best = None
         for init in (O, rot_only, half):
             res = icp_ops.gauss_newton(
@@ -246,16 +250,16 @@ class LoopCloser:
                 if best is None or (res_old < best[0] and or_old < best[1]):
                     accept = rel_error < cfg.residual_threshold or \
                         (res_old - res_new) < 0.1
-                    if accept:
-                        best = (res_old, or_old, cand_pose)
+                    best = (res_old, or_old, cand_pose, accept)
 
         if best is None:
             return False
-        _, _, cand_pose = best
-        self.pose_old = cand_pose
+        _, _, cand_pose, accept = best
+        anchor = cand_pose if accept else pose
+        self.pose_old = anchor
         self.unverified.append(LoopClosureCandidate(
             frm=ts, to=to,
-            rel_pose=np.linalg.inv(cand_pose) @ self.posegraph.pose(to)))
+            rel_pose=np.linalg.inv(anchor) @ self.posegraph.pose(to)))
         return True
 
     # ------------------------------------------------------------------

@@ -128,10 +128,18 @@ def render_scan(world: World, pose: jnp.ndarray, cfg: DataConfig,
 
 
 def circular_trajectory(n: int, radius: float = 18.0, height: float = 0.0,
+                        step: float | None = None,
                         dtype=jnp.float32) -> jnp.ndarray:
     """[N,4,4] poses driving a circle, x-axis along the motion direction
-    (like the reference's simulated vehicle loop)."""
-    ang = 2 * np.pi * np.arange(n) / n
+    (like the reference's simulated vehicle loop).
+
+    ``step`` fixes the arc length per scan (meters); default spreads the N
+    poses over exactly one revolution.
+    """
+    if step is None:
+        ang = 2 * np.pi * np.arange(n) / n
+    else:
+        ang = (step / radius) * np.arange(n)
     poses = []
     for a in ang:
         cy, sy = np.cos(a + np.pi / 2), np.sin(a + np.pi / 2)  # heading tangent
@@ -150,10 +158,11 @@ class SimulationReader:
 
     def __init__(self, cfg: DataConfig, n_scans: int = 100,
                  world: World | None = None, radius: float = 18.0,
-                 noise_sigma: float = 0.0, seed: int = 0):
+                 noise_sigma: float = 0.0, seed: int = 0,
+                 step: float | None = None):
         self.cfg = cfg
         self.world = world if world is not None else default_world(seed)
-        self.poses = circular_trajectory(n_scans, radius)
+        self.poses = circular_trajectory(n_scans, radius, step=step)
         self.noise_sigma = noise_sigma
         self._key = jax.random.PRNGKey(seed)
         self._n = n_scans

@@ -1,0 +1,64 @@
+"""Loop-closure end-to-end test: drive a full circle with depth noise; the
+loop must be detected, verified, and the pose-graph correction must reduce
+final-position drift."""
+import numpy as np
+
+from semantic_suma_tpu.config import (DataConfig, IcpConfig, LoopClosureConfig,
+                                      MapConfig, SumaConfig)
+from semantic_suma_tpu.core.pipeline import SurfelSLAM
+from semantic_suma_tpu.io.simulation import SimulationReader
+
+
+def loop_cfg():
+    d = DataConfig(width=120, height=24)
+    return SumaConfig(
+        data=d, model=d,
+        icp=IcpConfig(max_iterations=10),
+        map=MapConfig(surfel_capacity=1 << 16, active_capacity=1 << 14,
+                      max_poses=256),
+        loop=LoopClosureConfig(enabled=True, min_trajectory_distance=60.0,
+                               delta_timestamp=20, search_distance=20.0,
+                               min_verifications=3,
+                               # the synthetic world is nearly outlier-free,
+                               # which makes the outlier *ratio* gate noisy;
+                               # widen it (it is a config, not a constant)
+                               outlier_threshold=6.0))
+
+
+def test_loop_closes_circle():
+    cfg = loop_cfg()
+    radius = 16.0
+    # one full lap + overlap: circumference ~100.5 m at 1.6 m/scan ~ 63 scans
+    n = 75
+    reader = SimulationReader(cfg.data, n_scans=n, radius=radius, step=1.6,
+                              noise_sigma=0.03, seed=2)
+    slam = SurfelSLAM(cfg)
+    for i in range(n):
+        s = reader.read(i)
+        slam.process_scan(s.points, s.labels, s.probs, s.valid)
+
+    lc = slam._loop
+    assert lc is not None
+    # the revisit must produce verified loop closures and an optimization
+    assert lc.num_loop_closures >= 1, (
+        lc.num_loop_closures, lc.time_without_loop, len(lc.unverified))
+    assert lc.num_optimizations >= 1
+
+    est = slam.trajectory()
+    gt = np.asarray(reader.poses)
+    # after optimization the final pose must be consistent with ground truth
+    rel_gt = np.linalg.inv(gt[0]) @ gt[n - 1]
+    err = np.linalg.norm(est[n - 1][:3, 3] - rel_gt[:3, 3])
+    assert err < 1.5, err
+
+
+def test_no_loops_on_straight_run():
+    """Without revisits the machinery must stay quiet (no false loops)."""
+    cfg = loop_cfg()
+    reader = SimulationReader(cfg.data, n_scans=25, radius=200.0, step=1.5,
+                              seed=3)
+    slam = SurfelSLAM(cfg)
+    for i in range(25):
+        s = reader.read(i)
+        slam.process_scan(s.points, s.labels, s.probs, s.valid)
+    assert slam._loop.num_loop_closures == 0
