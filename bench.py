@@ -17,6 +17,8 @@ import time
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from semantic_suma_tpu.config import MapConfig, SumaConfig
@@ -30,7 +32,7 @@ def main():
 
     n_warmup, n_timed = 8, 60
     world = default_world(seed=0, extent=45.0)
-    gt = circular_trajectory(n_warmup + n_timed, radius=18.0)
+    gt = circular_trajectory(n_warmup + n_timed, radius=18.0, step=1.5)
 
     # pre-generate scans on device (not part of the timed region)
     gen = jax.jit(lambda pose: render_scan(world, pose, cfg.data))
@@ -38,8 +40,9 @@ def main():
              for i in range(n_warmup + n_timed)]
     jax.block_until_ready(scans[-1].points)
 
-    step = jax.jit(odometry_step, static_argnames=("cfg",),
-                   donate_argnums=(0,))
+    # NOTE: no donate_argnums — buffer donation trips an InvalidArgument in
+    # the axon remote-TPU backend; XLA still reuses buffers well enough here.
+    step = jax.jit(odometry_step, static_argnames=("cfg",))
 
     state = init_state(cfg)
     ct = jnp.asarray(-2.0, jnp.float32)

@@ -80,6 +80,11 @@ def save_map_ply(path: str, state, min_confidence: float = 0.0) -> None:
     print(f"wrote {pos.shape[0]} surfels to {path}")
 
 
+def jax_tree_to_np(tree):
+    import jax
+    return jax.tree.map(np.asarray, tree)
+
+
 def cmd_run(args) -> int:
     from .core.pipeline import SurfelSLAM
     from .utils import metrics
@@ -142,6 +147,20 @@ def cmd_run(args) -> int:
 
     if args.save_map:
         save_map_ply(args.save_map, slam.state)
+
+    if args.plot_dir:
+        import os
+        from .utils import viz
+        os.makedirs(args.plot_dir, exist_ok=True)
+        loops = [i for i, s_ in enumerate(slam.statistics)
+                 if s_.get("loop-verifying")]
+        viz.plot_trajectory(est, np.asarray(gt) if gt is not None else None,
+                            loops, os.path.join(args.plot_dir, "traj.png"))
+        viz.plot_statistics(slam.statistics,
+                            path=os.path.join(args.plot_dir, "stats.png"))
+        viz.save_map_images(
+            jax_tree_to_np(slam.state.model_maps),
+            prefix=os.path.join(args.plot_dir, "model"))
 
     if args.eval and gt is not None:
         res = metrics.evaluate(np.asarray(gt), est)
@@ -235,6 +254,8 @@ def main(argv=None) -> int:
     runp.add_argument("--export-poses")
     runp.add_argument("--stats-json")
     runp.add_argument("--save-map")
+    runp.add_argument("--plot-dir",
+                      help="write trajectory/statistics/map-image PNGs here")
     runp.add_argument("--eval", action="store_true")
     runp.add_argument("--verbose", action="store_true")
     runp.set_defaults(fn=cmd_run)
