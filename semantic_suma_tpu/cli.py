@@ -55,8 +55,9 @@ def save_map_ply(path: str, state, min_confidence: float = 0.0) -> None:
     """Export world-frame surfels as a PLY point cloud with normals,
     radius, confidence and semantic color (the reference's renderMaps dump,
     VisualizerWindow.cpp:815-840, minus the GUI)."""
+    from .core.surfel_map import sync
     from .models.labels import label_colors
-    d = state.map.data
+    d = sync(state.map).data
     valid = np.asarray(d.valid) & (np.asarray(d.confidence) >= min_confidence)
     pos = np.asarray(d.wpos)[valid]
     nrm = np.asarray(d.wnormal)[valid]

@@ -1,47 +1,46 @@
-"""Semantic surfel map: fixed-capacity SoA state + fusion/render kernels.
+"""Semantic surfel map: packed SoA state + fusion/render kernels.
 
 TPU-native redesign of the reference's GPU surfel pipeline
 (``/root/reference/src/core/SurfelMap.{h,cpp}`` and the shader passes
 ``gen_indexmap`` / ``init_radiusConf`` / ``update_surfels`` / ``gen_surfels``
-/ ``copy_surfels`` / ``render_surfels`` / ``render_compose``):
+/ ``copy_surfels`` / ``render_surfels`` / ``render_compose``).
 
-* The reference keeps one big GPU vertex buffer (cap 2048^2 surfels) mutated
-  by transform-feedback stream compaction. JAX needs static shapes, so the
-  map is a fixed-capacity structure-of-arrays pytree with a validity mask; a
-  **periodic cumsum compaction** replaces transform feedback, and creation is
-  an **append via prefix-sum offsets + unique-index scatter**.
+Performance architecture (measured on TPU v5e through this repo's
+microbenchmarks — see git history):
 
-* Per-scan work runs on an **active view** — a gathered, fixed-size subset
-  of surfels near the vehicle (the TPU analogue of the reference's submap
-  window, ``SurfelMap.cpp:744-824``, which pages far tiles off the GPU).
-  The view is built with one cheap full-capacity mask+cumsum pass; update
-  results scatter back with unique indices.
+* **Packed storage.** TPU gathers/scatters of many thin arrays are ~5x
+  slower than one wide row gather, so surfels live in exactly two arrays:
+  ``f32 [N, 16]`` (position 0:3, normal 3:6, radius 6, confidence 7,
+  weight 8, sem_prob 9, world position 10:13, world normal 13:16) and
+  ``i32 [N, 4]`` (timestamp, creation_ts, sem_label, valid). Kernels unpack
+  via free column slices.
 
-* Surfels store their geometry in the frame of their *creation pose* plus
-  the index of that pose (reference ``Surfel.h`` count field), so loop
-  closures only rewrite the pose table — plus a cached world-frame copy
-  (refreshed on pose updates) so the hot path never gathers 4x4 poses.
+* **Persistent active view.** The working set near the vehicle (the
+  reference's submap window, ``SurfelMap.cpp:744-824``) is gathered ONCE
+  and kept authoritative across scans; the full-capacity store is only
+  synced/rebuilt when the vehicle moves beyond a refresh distance or the
+  view tail fills (a ``lax.cond`` inside the step). Per-scan cost is
+  therefore O(active), not O(capacity), with the expensive row gather
+  amortized over ~10 scans.
 
-* Splat rendering (surfel disks under spherical projection, z-buffered) is
-  center-scatter into a per-pixel z-buffer (deterministic sort-based
-  reduction, ``ops/zbuffer.py``) followed by a 3x3 neighborhood gather with
-  a per-pixel ray/disk intersection test — one z-buffer entry per surfel
-  instead of rasterizing a quad, with the disk footprint resolved on the
-  gather side.
+* **Render = center z-buffer + roll-based disk resolve.** Each surfel
+  contributes ONE z-buffer candidate (sorted deterministic reduction,
+  ``ops/zbuffer.py``); winning attributes are gathered into a dense image
+  once, and the 3x3 disk footprint of the reference's quad rasterization is
+  recovered with ``jnp.roll`` shifts + per-pixel ray/disk tests — no
+  gathers inside the neighborhood loop.
 
-* The per-surfel update (data association, odds-based stability with
-  semantic penalty, recursive semantic probability, slerp normal averaging)
-  is a branch-free vectorized kernel over the active view, mirroring the
-  math of ``update_surfels.vert:140-334``.
+* Surfels store geometry in their creation-pose frame plus the pose index
+  (reference ``Surfel.h``), so loop closures only rewrite the pose table;
+  a cached world-frame copy keeps the hot path free of pose gathers.
 
-All functions are pure; the whole per-scan map update + render is fused into
-a single jitted device program by the pipeline.
+All functions are pure; the per-scan update + render is one jitted program.
 """
 
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -50,103 +49,191 @@ from ..config import DataConfig, MapConfig
 from ..models.labels import is_movable
 from ..ops.icp import Maps
 from ..ops.projection import INV_PI, pixel_rays
-from ..ops.zbuffer import zbuffer_argmin, gather_or
+from ..ops.zbuffer import zbuffer_argmin
 from ..utils import lie
 
+# float column layout
+_POS = slice(0, 3)
+_NRM = slice(3, 6)
+_RADIUS = 6
+_CONF = 7
+_WEIGHT = 8
+_SEMPROB = 9
+_WPOS = slice(10, 13)
+_WNRM = slice(13, 16)
+NUM_F = 16
+# int column layout
+_TS = 0
+_CTS = 1
+_LABEL = 2
+_VALID = 3
+NUM_I = 4
 
-class SurfelData(NamedTuple):
-    """SoA surfel attributes (reference ``Surfel.h:5-15``)."""
 
-    position: jnp.ndarray     # [N, 3] in creation-pose frame
-    normal: jnp.ndarray       # [N, 3] in creation-pose frame
-    radius: jnp.ndarray       # [N]
-    confidence: jnp.ndarray   # [N] log-odds stability
-    timestamp: jnp.ndarray    # [N] int32 last-update scan index
-    creation_ts: jnp.ndarray  # [N] int32 creation scan index (pose index)
-    weight: jnp.ndarray       # [N] accumulation weight
-    sem_label: jnp.ndarray    # [N] int32
-    sem_prob: jnp.ndarray     # [N] float32
-    valid: jnp.ndarray        # [N] bool
-    wpos: jnp.ndarray         # [N, 3] cached world-frame position
-    wnormal: jnp.ndarray      # [N, 3] cached world-frame normal
+class PackedSurfels(NamedTuple):
+    """Two-array packed surfel storage."""
 
-    def take(self, idx: jnp.ndarray) -> "SurfelData":
-        """Gather rows (out-of-range indices yield invalid rows)."""
-        n = self.position.shape[0]
+    f: jnp.ndarray  # [N, 16] float32
+    i: jnp.ndarray  # [N, 4] int32
+
+    @property
+    def capacity(self) -> int:
+        return self.f.shape[0]
+
+    # unpacked accessors (free slices under jit)
+    @property
+    def position(self): return self.f[:, _POS]
+    @property
+    def normal(self): return self.f[:, _NRM]
+    @property
+    def radius(self): return self.f[:, _RADIUS]
+    @property
+    def confidence(self): return self.f[:, _CONF]
+    @property
+    def weight(self): return self.f[:, _WEIGHT]
+    @property
+    def sem_prob(self): return self.f[:, _SEMPROB]
+    @property
+    def wpos(self): return self.f[:, _WPOS]
+    @property
+    def wnormal(self): return self.f[:, _WNRM]
+    @property
+    def timestamp(self): return self.i[:, _TS]
+    @property
+    def creation_ts(self): return self.i[:, _CTS]
+    @property
+    def sem_label(self): return self.i[:, _LABEL]
+    @property
+    def valid(self): return self.i[:, _VALID] > 0
+
+    def take(self, idx: jnp.ndarray) -> "PackedSurfels":
+        """Row gather; out-of-range indices produce invalid rows."""
+        n = self.capacity
         safe = jnp.minimum(idx, n - 1)
         ok = idx < n
-        sub = jax.tree.map(lambda a: a[safe], self)
-        return sub._replace(valid=sub.valid & ok)
+        f = self.f[safe]
+        i = self.i[safe]
+        i = i.at[:, _VALID].set(jnp.where(ok, i[:, _VALID], 0))
+        return PackedSurfels(f=f, i=i)
+
+    def put(self, slots: jnp.ndarray, rows: "PackedSurfels") -> "PackedSurfels":
+        """Unique-index row scatter; slots >= capacity are dropped."""
+        return PackedSurfels(
+            f=self.f.at[slots].set(rows.f, mode="drop", unique_indices=True),
+            i=self.i.at[slots].set(rows.i, mode="drop", unique_indices=True))
+
+
+def make_packed(n: int, *, position=None, normal=None, radius=None,
+                confidence=None, weight=None, sem_prob=None, wpos=None,
+                wnormal=None, timestamp=None, creation_ts=None,
+                sem_label=None, valid=None) -> PackedSurfels:
+    f = jnp.zeros((n, NUM_F), jnp.float32)
+    i = jnp.zeros((n, NUM_I), jnp.int32)
+    if position is not None: f = f.at[:, _POS].set(position)
+    if normal is not None: f = f.at[:, _NRM].set(normal)
+    if radius is not None: f = f.at[:, _RADIUS].set(radius)
+    if confidence is not None: f = f.at[:, _CONF].set(confidence)
+    if weight is not None: f = f.at[:, _WEIGHT].set(weight)
+    if sem_prob is not None: f = f.at[:, _SEMPROB].set(sem_prob)
+    if wpos is not None: f = f.at[:, _WPOS].set(wpos)
+    if wnormal is not None: f = f.at[:, _WNRM].set(wnormal)
+    if timestamp is not None: i = i.at[:, _TS].set(timestamp)
+    if creation_ts is not None: i = i.at[:, _CTS].set(creation_ts)
+    if sem_label is not None: i = i.at[:, _LABEL].set(sem_label)
+    if valid is not None: i = i.at[:, _VALID].set(valid.astype(jnp.int32))
+    return PackedSurfels(f=f, i=i)
 
 
 class MapState(NamedTuple):
-    data: SurfelData          # capacity CAP
-    count: jnp.ndarray        # int32 high-water mark of allocated slots
-    poses: jnp.ndarray        # [MAX_POSES, 4, 4] per-timestamp poses
-
-
-class ActiveView(NamedTuple):
-    """Gathered working set of surfels near the vehicle."""
-
-    idx: jnp.ndarray          # [ACT] int32 row in the global store (CAP = none)
-    data: SurfelData          # [ACT] gathered rows
+    data: PackedSurfels       # [CAP] global store
+    count: jnp.ndarray        # int32 allocation high-water mark
+    poses: jnp.ndarray        # [MAX_POSES, 4, 4]
+    active_idx: jnp.ndarray   # [ACT] int32 global row per view slot (CAP=free)
+    active: PackedSurfels     # [ACT] authoritative rows for active_idx
+    active_count: jnp.ndarray  # int32 used view slots
+    anchor: jnp.ndarray       # [3] refresh center (inf => force refresh)
 
 
 class FrameInputs(NamedTuple):
-    """Per-scan inputs to the map update: data maps + per-pixel surfel init."""
-
     maps: Maps
-    radius: jnp.ndarray        # [H, W] creation radius per pixel
+    radius: jnp.ndarray        # [H, W]
     radius_valid: jnp.ndarray  # [H, W] bool
-
-
-def _zeros_data(n: int) -> SurfelData:
-    z3 = jnp.zeros((n, 3), jnp.float32)
-    z1 = jnp.zeros((n,), jnp.float32)
-    zi = jnp.zeros((n,), jnp.int32)
-    return SurfelData(position=z3, normal=z3, radius=z1, confidence=z1,
-                      timestamp=zi, creation_ts=zi, weight=z1,
-                      sem_label=zi, sem_prob=z1,
-                      valid=jnp.zeros((n,), bool), wpos=z3, wnormal=z3)
 
 
 def empty_map(cfg: MapConfig) -> MapState:
     poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                              (cfg.max_poses, 4, 4))
-    return MapState(data=_zeros_data(cfg.surfel_capacity),
-                    count=jnp.zeros((), jnp.int32), poses=poses)
+    return MapState(
+        data=make_packed(cfg.surfel_capacity),
+        count=jnp.zeros((), jnp.int32),
+        poses=poses,
+        active_idx=jnp.full((cfg.active_capacity,), cfg.surfel_capacity,
+                            jnp.int32),
+        active=make_packed(cfg.active_capacity),
+        active_count=jnp.zeros((), jnp.int32),
+        anchor=jnp.full((3,), jnp.inf, jnp.float32),
+    )
 
 
 # ---------------------------------------------------------------------------
-# active view (submap-window analogue)
+# active view lifecycle
 # ---------------------------------------------------------------------------
 
-def build_active(state: MapState, center: jnp.ndarray,
-                 cfg: MapConfig, margin: float = 25.0) -> ActiveView:
-    """Gather surfels within the active radius of ``center`` into a
-    fixed-size view (one mask+cumsum pass over the full store)."""
-    cap = state.data.position.shape[0]
-    act = cfg.active_capacity
-    near = jnp.linalg.norm(state.data.wpos - center[None, :], axis=-1) \
+def sync(state: MapState) -> MapState:
+    """Write the (authoritative) active view back into the global store."""
+    cap = state.data.capacity
+    slots = jnp.minimum(state.active_idx, cap)
+    return state._replace(data=state.data.put(slots, state.active))
+
+
+def refresh_active(state: MapState, center: jnp.ndarray, cfg: MapConfig,
+                   margin: float = 25.0, priority: str = "new") -> MapState:
+    """Sync, then rebuild the view around ``center``.
+
+    On overflow, ``priority`` decides who survives: ``"new"`` keeps the most
+    recently created surfels (dropping the current area's fresh surfels
+    collapses odometry association), ``"old"`` keeps the oldest (the
+    inactive-map renders of loop closure need exactly those). With
+    adequately sized views overflow never triggers and both are identical.
+    """
+    state = sync(state)
+    cap = state.data.capacity
+    act = state.active_idx.shape[0]
+    d = state.data
+    near = jnp.linalg.norm(d.wpos - center[None, :], axis=-1) \
         < (cfg.active_radius + margin)
-    sel = state.data.valid & near
-    order = jnp.cumsum(sel.astype(jnp.int32)) - 1
-    slots = jnp.where(sel & (order < act), order, act)
+    sel = d.valid & near
+    total = jnp.minimum(jnp.sum(sel), act)
+    if priority == "new":
+        # rank from the end: newest selected row has rank 1
+        rank_end = jnp.cumsum(sel[::-1].astype(jnp.int32))[::-1]
+        keep = sel & (rank_end <= act)
+        pos = total - rank_end
+    else:
+        rank = jnp.cumsum(sel.astype(jnp.int32))
+        keep = sel & (rank <= act)
+        pos = rank - 1
+    slots = jnp.where(keep, pos, act)
     idx = jnp.full((act,), cap, jnp.int32).at[slots].set(
         jnp.arange(cap, dtype=jnp.int32), mode="drop", unique_indices=True)
-    return ActiveView(idx=idx, data=state.data.take(idx))
+    return state._replace(
+        active_idx=idx, active=state.data.take(idx),
+        active_count=total.astype(jnp.int32), anchor=center)
 
 
-def scatter_back(state: MapState, view: ActiveView) -> MapState:
-    """Write updated view rows back into the global store."""
-    cap = state.data.position.shape[0]
-    slots = jnp.where(view.idx < cap, view.idx, cap)
-
-    def put(dst, src):
-        return dst.at[slots].set(src, mode="drop", unique_indices=True)
-
-    data = jax.tree.map(put, state.data, view.data)
-    return state._replace(data=data)
+def maybe_refresh(state: MapState, center: jnp.ndarray, cfg: MapConfig,
+                  pending_creates: int, margin: float = 25.0,
+                  refresh_distance: Optional[float] = None) -> MapState:
+    """Refresh the view iff the vehicle left the refresh radius or the view
+    tail cannot hold this scan's potential creations (lax.cond in-step)."""
+    act = state.active_idx.shape[0]
+    rd = refresh_distance if refresh_distance is not None else margin * 0.5
+    moved = jnp.linalg.norm(center - state.anchor) > rd
+    full = state.active_count + pending_creates > act
+    need = moved | full | jnp.any(~jnp.isfinite(state.anchor))
+    return jax.lax.cond(
+        need, lambda s: refresh_active(s, center, cfg, margin), lambda s: s,
+        state)
 
 
 # ---------------------------------------------------------------------------
@@ -155,9 +242,6 @@ def scatter_back(state: MapState, view: ActiveView) -> MapState:
 
 def data_surfel_init(maps: Maps, data_cfg: DataConfig,
                      map_cfg: MapConfig) -> FrameInputs:
-    """Per-pixel surfel radius r = 1.41*d*pixel_size/clamp(cos angle,0.5,1),
-    clamped to [min_radius, max_radius]; valid when vertex+normal valid and
-    the surface faces the sensor."""
     v = maps.vertex
     n = maps.normal
     d = jnp.linalg.norm(v, axis=-1)
@@ -176,8 +260,6 @@ def data_surfel_init(maps: Maps, data_cfg: DataConfig,
 # ---------------------------------------------------------------------------
 
 def _project_px(pts: jnp.ndarray, cfg: DataConfig):
-    """Integer pixel + depth + inside for sensor-frame points (same math as
-    update_surfels.vert projectSpherical)."""
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
     depth = jnp.sqrt(x * x + y * y + z * z)
     yaw = jnp.arctan2(y, x)
@@ -192,25 +274,22 @@ def _project_px(pts: jnp.ndarray, cfg: DataConfig):
     return px, py, depth, inside
 
 
-def _to_sensor(pose_inv: jnp.ndarray, wpos: jnp.ndarray, wnormal: jnp.ndarray):
+class _Projected(NamedTuple):
+    p_c: jnp.ndarray
+    n_c: jnp.ndarray
+    depth: jnp.ndarray
+    px: jnp.ndarray
+    py: jnp.ndarray
+    visible: jnp.ndarray
+    inside: jnp.ndarray
+
+
+def _project_surfels(data: PackedSurfels, pose_inv: jnp.ndarray,
+                     cfg: DataConfig, facing_eps: float = 0.01) -> _Projected:
     r = pose_inv[:3, :3]
     t = pose_inv[:3, 3]
-    return wpos @ r.T + t, wnormal @ r.T
-
-
-class _Projected(NamedTuple):
-    p_c: jnp.ndarray      # [N,3] sensor-frame position
-    n_c: jnp.ndarray      # [N,3] sensor-frame normal
-    depth: jnp.ndarray    # [N]
-    px: jnp.ndarray       # [N]
-    py: jnp.ndarray       # [N]
-    visible: jnp.ndarray  # [N] front-facing
-    inside: jnp.ndarray   # [N] in image + depth range
-
-
-def _project_surfels(data: SurfelData, pose_inv: jnp.ndarray,
-                     cfg: DataConfig, facing_eps: float = 0.01) -> _Projected:
-    p_c, n_c = _to_sensor(pose_inv, data.wpos, data.wnormal)
+    p_c = data.wpos @ r.T + t
+    n_c = data.wnormal @ r.T
     depth = jnp.linalg.norm(p_c, axis=-1)
     visible = jnp.sum(n_c * (-p_c), axis=-1) / jnp.maximum(depth, 1e-12) \
         > facing_eps
@@ -219,110 +298,95 @@ def _project_surfels(data: SurfelData, pose_inv: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# rendering: center-scatter z-buffer + neighborhood disk-gather
-# (render_surfels.* + gen_indexmap + render_compose.frag)
+# rendering
 # ---------------------------------------------------------------------------
 
 class RenderEntries(NamedTuple):
-    """One z-buffer candidate per selected surfel."""
-
-    data: SurfelData          # [N] source attributes
-    proj: _Projected          # [N]
-    sel: jnp.ndarray          # [N] selected for rendering
+    data: PackedSurfels
+    proj: _Projected
+    sel: jnp.ndarray
 
 
-def _selection(data: SurfelData, proj: _Projected, map_cfg: MapConfig,
+def _selection(data: PackedSurfels, proj: _Projected, map_cfg: MapConfig,
                conf_threshold, ts_threshold, which: str) -> jnp.ndarray:
     sel = data.valid & proj.visible & proj.inside
     if map_cfg.use_stability:
         sel = sel & (data.confidence > conf_threshold)
-    if which == "old":  # render_surfels.geom:90
+    if which == "old":      # render_surfels.geom:90
         sel = sel & (data.creation_ts < ts_threshold)
-    elif which == "new":  # render_surfels.geom:91
+    elif which == "new":    # render_surfels.geom:91
         sel = sel & ((data.creation_ts >= ts_threshold)
                      | (data.timestamp >= ts_threshold))
     return sel
 
 
-def _resolve_maps(entries_list, cfg: DataConfig) -> Maps:
-    """Resolve candidate streams to model maps.
+def _resolve_maps(entries_list: Sequence[RenderEntries],
+                  cfg: DataConfig) -> Maps:
+    """Candidate streams -> model maps.
 
-    Phase 1: per-pixel nearest candidate via the sorted z-buffer (surfel
-    centers only). Phase 2: each pixel gathers its 3x3 neighborhood winners,
-    ray/disk-intersects their tangent disks, and keeps the nearest hit —
-    recovering the disk footprint of the reference's quad rasterization
-    without multiplying the z-buffer load by 9.
+    Phase 1: nearest candidate per pixel via the sorted z-buffer (surfel
+    centers only). Phase 2: winner attributes are gathered into ONE dense
+    [H, W, 9] image; each pixel then inspects its 3x3 neighborhood with
+    jnp.roll shifts and keeps the nearest candidate whose tangent disk
+    intersects this pixel's ray — recovering the disk footprint of
+    render_surfels.geom:101-120 without per-offset gathers.
     """
     h, w = cfg.height, cfg.width
     hw = h * w
 
-    ids = []
-    deps = []
+    ids, deps, attrs = [], [], []
     for e in entries_list:
         pid = jnp.where(e.sel, e.proj.py * w + e.proj.px, -1)
         ids.append(pid)
         deps.append(jnp.where(e.sel, e.proj.depth, jnp.inf))
-    offsets = [0]
-    for e in entries_list[:-1]:
-        offsets.append(offsets[-1] + e.sel.shape[0])
-    winner, _ = zbuffer_argmin(jnp.concatenate(ids) if len(ids) > 1 else ids[0],
-                               jnp.concatenate(deps) if len(deps) > 1 else deps[0],
-                               hw)
+        attrs.append(jnp.concatenate([
+            e.proj.p_c, e.proj.n_c, e.data.radius[:, None],
+            e.data.sem_label[:, None].astype(jnp.float32),
+            e.data.sem_prob[:, None]], axis=-1))
+    cat = (lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0])
+    winner, _ = zbuffer_argmin(cat(ids), cat(deps), hw)
+    cand_attrs = cat(attrs)
 
-    # flatten candidate attributes across streams
-    def cat(get):
-        parts = [get(e) for e in entries_list]
-        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    has = winner >= 0
+    img = jnp.where(has[:, None], cand_attrs[jnp.maximum(winner, 0)], 0.0)
+    img = img.reshape(h, w, 9)
+    hasg = has.reshape(h, w)
 
-    cand_p = cat(lambda e: e.proj.p_c)
-    cand_n = cat(lambda e: e.proj.n_c)
-    cand_r = cat(lambda e: e.data.radius)
-    cand_lab = cat(lambda e: e.data.sem_label)
-    cand_prob = cat(lambda e: e.data.sem_prob)
-
-    rays = pixel_rays(cfg).reshape(hw, 3)
-    win_grid = winner.reshape(h, w)
-
-    # neighborhood gather: for each pixel, test the 9 surrounding cells'
-    # winning surfels against this pixel's ray
-    best_t = jnp.full((hw,), jnp.inf, jnp.float32)
-    best_i = jnp.full((hw,), -1, jnp.int32)
+    rays = pixel_rays(cfg)  # [H, W, 3]
+    best_t = jnp.full((h, w), jnp.inf, jnp.float32)
+    best = jnp.zeros((h, w, 9), jnp.float32)
+    best_ok = jnp.zeros((h, w), bool)
     for dy in (-1, 0, 1):
-        rolled = jnp.roll(win_grid, -dy, axis=0)
-        if dy == 1:
-            rolled = rolled.at[h - 1].set(-1)
-        elif dy == -1:
-            rolled = rolled.at[0].set(-1)
+        rolled = jnp.roll(img, -dy, axis=0)
+        rolled_has = jnp.roll(hasg, -dy, axis=0)
+        if dy != 0:
+            edge = h - 1 if dy == 1 else 0
+            rolled_has = rolled_has.at[edge].set(False)
         for dx in (-1, 0, 1):
-            cand = jnp.roll(rolled, -dx, axis=1).reshape(hw)
-            safe = jnp.maximum(cand, 0)
-            p = cand_p[safe]
-            n = cand_n[safe]
-            r = cand_r[safe]
+            nb = jnp.roll(rolled, -dx, axis=1)
+            nb_has = jnp.roll(rolled_has, -dx, axis=1)
+            p = nb[..., 0:3]
+            n = nb[..., 3:6]
+            r = nb[..., 6]
             denom = jnp.sum(n * rays, axis=-1)
             t = jnp.sum(n * p, axis=-1) / jnp.where(
                 jnp.abs(denom) < 1e-9, 1e-9, denom)
-            hit = jnp.linalg.norm(rays * t[:, None] - p, axis=-1) <= r
-            ok = (cand >= 0) & hit & (t > cfg.min_depth) & (t < cfg.max_depth)
+            hit = jnp.linalg.norm(rays * t[..., None] - p, axis=-1) <= r
+            ok = nb_has & hit & (t > cfg.min_depth) & (t < cfg.max_depth)
             closer = ok & (t < best_t)
             best_t = jnp.where(closer, t, best_t)
-            best_i = jnp.where(closer, cand, best_i)
+            best = jnp.where(closer[..., None], nb, best)
+            best_ok = best_ok | closer
 
-    got = best_i >= 0
-    safe = jnp.maximum(best_i, 0)
-    vert = jnp.where(got[:, None], cand_p[safe], 0.0).reshape(h, w, 3)
-    norm = jnp.where(got[:, None], cand_n[safe], 0.0).reshape(h, w, 3)
-    lab = jnp.where(got, cand_lab[safe], 0).reshape(h, w)
-    prob = jnp.where(got, cand_prob[safe], 0.0).reshape(h, w)
-    okg = got.reshape(h, w)
-    return Maps(vertex=vert, normal=norm, vertex_valid=okg, normal_valid=okg,
-                sem_label=lab, sem_prob=prob)
+    return Maps(vertex=best[..., 0:3], normal=best[..., 3:6],
+                vertex_valid=best_ok, normal_valid=best_ok,
+                sem_label=best[..., 7].astype(jnp.int32),
+                sem_prob=best[..., 8])
 
 
-def render_view(data: SurfelData, pose: jnp.ndarray, cfg: DataConfig,
+def render_view(data: PackedSurfels, pose: jnp.ndarray, cfg: DataConfig,
                 map_cfg: MapConfig, conf_threshold, ts_threshold,
                 which: str = "new") -> Maps:
-    """Render model maps from a set of surfels at the given view pose."""
     pose_inv = lie.se3_inverse(pose.astype(jnp.float32))
     proj = _project_surfels(data, pose_inv, cfg)
     sel = _selection(data, proj, map_cfg, conf_threshold, ts_threshold, which)
@@ -332,34 +396,40 @@ def render_view(data: SurfelData, pose: jnp.ndarray, cfg: DataConfig,
 def render_maps(state: MapState, pose: jnp.ndarray, cfg: DataConfig,
                 map_cfg: MapConfig, conf_threshold, ts_threshold,
                 render_old: bool = False) -> Maps:
-    """Full-map render (builds an active view around the pose internally)."""
-    view = build_active(state, pose[:3, 3].astype(jnp.float32), map_cfg)
-    return render_view(view.data, pose, cfg, map_cfg, conf_threshold,
+    """Out-of-band render (loop closure, tests): syncs the view, then
+    renders from a fresh active subset around the pose."""
+    synced = refresh_active(state, pose[:3, 3].astype(jnp.float32), map_cfg,
+                            priority="old" if render_old else "new")
+    return render_view(synced.active, pose, cfg, map_cfg, conf_threshold,
                        ts_threshold, "old" if render_old else "new")
 
 
 def render_composed(state: MapState, pose_old: jnp.ndarray,
                     pose_new: jnp.ndarray, cfg: DataConfig,
                     map_cfg: MapConfig, conf_threshold, ts_threshold) -> Maps:
-    """Depth-merged render: old surfels from pose_old + new surfels from
-    pose_new into one z-buffer (SurfelMap.cpp:896-909 composed pass)."""
-    view = build_active(state, pose_new[:3, 3].astype(jnp.float32), map_cfg)
+    """Old surfels from pose_old + new surfels from pose_new in one z-buffer
+    (SurfelMap.cpp:896-909). Uses two view refreshes so that under view
+    overflow both the old and the new map parts are represented."""
     inv_old = lie.se3_inverse(pose_old.astype(jnp.float32))
     inv_new = lie.se3_inverse(pose_new.astype(jnp.float32))
-    proj_o = _project_surfels(view.data, inv_old, cfg)
-    proj_n = _project_surfels(view.data, inv_new, cfg)
-    sel_o = _selection(view.data, proj_o, map_cfg, conf_threshold,
-                       ts_threshold, "old")
-    sel_n = _selection(view.data, proj_n, map_cfg, conf_threshold,
-                       ts_threshold, "new")
-    return _resolve_maps([RenderEntries(view.data, proj_o, sel_o),
-                          RenderEntries(view.data, proj_n, sel_n)], cfg)
+    synced_o = refresh_active(state, pose_old[:3, 3].astype(jnp.float32),
+                              map_cfg, priority="old")
+    synced_n = refresh_active(state, pose_new[:3, 3].astype(jnp.float32),
+                              map_cfg, priority="new")
+    data_o = synced_o.active
+    data_n = synced_n.active
+    proj_o = _project_surfels(data_o, inv_old, cfg)
+    proj_n = _project_surfels(data_n, inv_new, cfg)
+    sel_o = _selection(data_o, proj_o, map_cfg, conf_threshold, ts_threshold,
+                       "old")
+    sel_n = _selection(data_n, proj_n, map_cfg, conf_threshold, ts_threshold,
+                       "new")
+    return _resolve_maps([RenderEntries(data_o, proj_o, sel_o),
+                          RenderEntries(data_n, proj_n, sel_n)], cfg)
 
 
 def compose_views(old: Maps, new: Maps, max_distance: float) -> Maps:
-    """Merge old/new model views (render_compose.frag:26-48): prefer the new
-    view; fall back to the old where new is invalid and the old vertex is
-    within max_distance."""
+    """render_compose.frag:26-48 merge."""
     new_ok = new.vertex_valid & new.normal_valid
     old_ok = old.vertex_valid & old.normal_valid
     dist = jnp.linalg.norm(new.vertex - old.vertex, axis=-1)
@@ -373,18 +443,9 @@ def compose_views(old: Maps, new: Maps, max_distance: float) -> Maps:
         sem_prob=jnp.where(take_old, old.sem_prob, new.sem_prob))
 
 
-def render_index_map(state: MapState, pose_inv: jnp.ndarray,
-                     cfg: DataConfig) -> jnp.ndarray:
-    """[H, W] int32 nearest visible surfel (global row) per pixel, -1 none
-    (gen_indexmap.vert: point-based depth-buffered id render). The hot path
-    uses :func:`_index_winner` on the active view instead."""
-    return _index_winner(state.data, pose_inv, cfg).reshape(
-        cfg.height, cfg.width)
-
-
-def _index_winner(data: SurfelData, pose_inv: jnp.ndarray,
+def _index_winner(data: PackedSurfels, pose_inv: jnp.ndarray,
                   cfg: DataConfig) -> jnp.ndarray:
-    """Winner row (into `data`) per pixel for data association (-1 = none)."""
+    """Nearest visible surfel row per pixel (gen_indexmap), -1 = none."""
     proj = _project_surfels(data, pose_inv, cfg)
     ok = data.valid & proj.visible & proj.inside
     ids = jnp.where(ok, proj.py * cfg.width + proj.px, -1)
@@ -392,13 +453,20 @@ def _index_winner(data: SurfelData, pose_inv: jnp.ndarray,
     return winner
 
 
+def render_index_map(state: MapState, pose_inv: jnp.ndarray,
+                     cfg: DataConfig) -> jnp.ndarray:
+    """Compatibility entry: full-store index map [H, W] (global rows)."""
+    synced = sync(state)
+    return _index_winner(synced.data, pose_inv, cfg).reshape(
+        cfg.height, cfg.width)
+
+
 # ---------------------------------------------------------------------------
-# map update: association + fusion + creation
+# map update
 # ---------------------------------------------------------------------------
 
-def _slerp(v0: jnp.ndarray, v1: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Spherical interpolation of unit normals (update_surfels.vert:113-124;
-    the reference's 'weight' is the weight of v0)."""
+def _slerp(v0, v1, w):
+    """update_surfels.vert:113-124 (w weights v0)."""
     d = jnp.clip(jnp.sum(v0 * v1, axis=-1), -1.0, 1.0)
     omega = jnp.arccos(d)
     so = jnp.sin(omega)
@@ -407,52 +475,64 @@ def _slerp(v0: jnp.ndarray, v1: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     w1 = jnp.where(safe, jnp.sin((1.0 - w) * omega) / jnp.where(safe, so, 1.0),
                    1.0 - w)
     out = w0[..., None] * v0 + w1[..., None] * v1
-    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True),
+                             1e-12)
 
 
-def _update_view(view: ActiveView, frame: FrameInputs, pose: jnp.ndarray,
+def _pack_frame_image(frame: FrameInputs) -> jnp.ndarray:
+    """One [HW, 10] image so the per-surfel pixel lookup is a single row
+    gather: vertex 0:3, normal 3:6, valid 6, label 7, prob 8, radius 9."""
+    m = frame.maps
+    h, w = m.vertex.shape[:2]
+    return jnp.concatenate([
+        m.vertex.reshape(-1, 3), m.normal.reshape(-1, 3),
+        (m.vertex_valid & m.normal_valid).reshape(-1, 1).astype(jnp.float32),
+        m.sem_label.reshape(-1, 1).astype(jnp.float32),
+        m.sem_prob.reshape(-1, 1), frame.radius.reshape(-1, 1)], axis=-1)
+
+
+def _update_view(data: PackedSurfels, frame_img: jnp.ndarray,
+                 frame: FrameInputs, pose: jnp.ndarray,
                  pose_inv: jnp.ndarray, poses: jnp.ndarray, ts,
                  data_cfg: DataConfig, map_cfg: MapConfig,
                  confidence_threshold, semantic: bool,
                  index_winner_override=None):
-    """Branch-free per-surfel update over the active view
-    (update_surfels.vert math). Returns (updated SurfelData, compatible)."""
-    d = view.data
+    """Branch-free per-surfel update (update_surfels.vert math) over a
+    packed surfel array. Returns (updated, compatible, pid)."""
     h, w = data_cfg.height, data_cfg.width
-    maps = frame.maps
-    vmap_flat = maps.vertex.reshape(-1, 3)
-    nmap_flat = maps.normal.reshape(-1, 3)
-    vvalid_flat = (maps.vertex_valid & maps.normal_valid).reshape(-1)
-    sem_label_flat = maps.sem_label.reshape(-1)
-    sem_prob_flat = maps.sem_prob.reshape(-1)
-    radius_flat = frame.radius.reshape(-1)
+    act = data.capacity
 
-    proj = _project_surfels(d, pose_inv, data_cfg, facing_eps=0.0)
+    proj = _project_surfels(data, pose_inv, data_cfg, facing_eps=0.0)
     pid = proj.py * w + proj.px
 
-    observed = d.valid & proj.visible & proj.inside & vvalid_flat[pid]
+    g = frame_img[pid]                       # ONE row gather [ACT, 10]
+    v_meas, n_meas = g[:, 0:3], g[:, 3:6]
+    m_valid = g[:, 6] > 0.5
+    d_label = g[:, 7].astype(jnp.int32)
+    d_prob = g[:, 8]
+    new_radius_meas = g[:, 9]
 
-    v_meas = vmap_flat[pid]
-    n_meas = nmap_flat[pid]
+    observed = data.valid & proj.visible & proj.inside & m_valid
+
     v_g = v_meas @ pose[:3, :3].T + pose[:3, 3]
     n_g = n_meas @ pose[:3, :3].T
-    n_g = n_g / jnp.maximum(jnp.linalg.norm(n_g, axis=-1, keepdims=True), 1e-12)
+    n_g = n_g / jnp.maximum(jnp.linalg.norm(n_g, axis=-1, keepdims=True),
+                            1e-12)
 
-    dist = jnp.abs(jnp.sum(d.wnormal * (v_g - d.wpos), axis=-1))
-    angle = jnp.linalg.norm(jnp.cross(n_g, d.wnormal), axis=-1)
+    wpos = data.wpos
+    wnrm = data.wnormal
+    dist = jnp.abs(jnp.sum(wnrm * (v_g - wpos), axis=-1))
+    angle = jnp.linalg.norm(jnp.cross(n_g, wnrm), axis=-1)
     angle_thresh = math.sin(math.radians(map_cfg.map_max_angle))
-    compatible = observed & (dist < map_cfg.max_distance) & (angle < angle_thresh)
+    compatible = observed & (dist < map_cfg.max_distance) \
+        & (angle < angle_thresh)
 
-    # semantic penalty (update_surfels.vert:183-195,324)
-    d_label = sem_label_flat[pid]
-    d_prob = sem_prob_flat[pid]
-    mismatch = d_label != d.sem_label
+    mismatch = d_label != data.sem_label
     penalty = jnp.where(
-        observed & mismatch & is_movable(d.sem_label) & jnp.asarray(semantic),
-        1.0, 0.0)
+        observed & mismatch & is_movable(data.sem_label)
+        & jnp.asarray(semantic), 1.0, 0.0)
 
-    # odds update (static-state Bayes filter, update_surfels.vert:326-333)
-    p_up = jnp.full(dist.shape, map_cfg.p_stable, jnp.float32)
+    p_up = jnp.full((act,), map_cfg.p_stable, jnp.float32)
     if map_cfg.confidence_mode in (1, 3):
         p_up = p_up * jnp.exp(-angle * angle / (map_cfg.sigma_angle ** 2))
     if map_cfg.confidence_mode in (2, 3):
@@ -460,98 +540,97 @@ def _update_view(view: ActiveView, frame: FrameInputs, pose: jnp.ndarray,
     p_up = jnp.clip(p_up, map_cfg.p_unstable, 1.0)
     log_odds_up = jnp.log(p_up / (1.0 - p_up))
 
-    # the nearest visible surfel at a non-matching pixel loses odds
-    act = d.position.shape[0]
     pid_safe = jnp.minimum(pid, h * w - 1)
     if index_winner_override is None:
-        winner = _index_winner(d, pose_inv, data_cfg)
+        winner = _index_winner(data, pose_inv, data_cfg)
         closest = winner[pid_safe] == jnp.arange(act)
-    else:  # sharded: (local winner per pixel, this-shard-wins-globally mask)
+    else:
         local_winner, i_am_winner = index_winner_override
         closest = i_am_winner[pid_safe] & (
             local_winner[pid_safe] == jnp.arange(act))
     update_conf = jnp.where(
         compatible, log_odds_up,
-        jnp.where(observed & closest, map_cfg.log_unstable, map_cfg.log_prior))
+        jnp.where(observed & closest, map_cfg.log_unstable,
+                  map_cfg.log_prior))
     update_conf = update_conf - penalty
 
     new_conf = jnp.where(
         map_cfg.use_stability,
-        jnp.minimum(d.confidence + update_conf - map_cfg.log_prior,
+        jnp.minimum(data.confidence + update_conf - map_cfg.log_prior,
                     map_cfg.stability_upper_bound),
-        d.confidence)
+        data.confidence)
 
-    new_radius_meas = radius_flat[pid]
-    young = (ts - d.creation_ts) < 100  # active_timestamps (SurfelMap.cpp:357)
-    integrate = compatible & (((new_radius_meas < d.radius) & young)
+    young = (ts - data.creation_ts) < 100  # active_timestamps
+    integrate = compatible & (((new_radius_meas < data.radius) & young)
                               | jnp.asarray(map_cfg.update_always))
 
     if map_cfg.weighting_scheme == 0:
         w1 = jnp.full((act,), 0.9, jnp.float32)
         w2 = jnp.full((act,), 0.1, jnp.float32)
-        new_weight = d.weight
+        new_weight = data.weight
     else:
-        w1 = d.weight
+        w1 = data.weight
         view_dir = -v_meas / jnp.maximum(
             jnp.linalg.norm(v_meas, axis=-1, keepdims=True), 1e-12)
         w2 = jnp.where(map_cfg.weighting_scheme == 2,
                        jnp.sum(n_meas * view_dir, axis=-1), 1.0)
         new_weight = jnp.where(integrate,
                                jnp.minimum(map_cfg.max_weight, w1 + w2),
-                               d.weight)
+                               data.weight)
         s = w1 + w2
         w1, w2 = w1 / s, w2 / s
 
-    avg_pos_w = w1[:, None] * d.wpos + w2[:, None] * v_g
+    avg_pos_w = w1[:, None] * wpos + w2[:, None] * v_g
     if map_cfg.averaging_scheme == 1:
-        signed = jnp.sum(d.wnormal * (v_g - d.wpos), axis=-1)
-        avg_pos_w = d.wpos + (w2 * signed)[:, None] * d.wnormal
-    avg_nrm_w = _slerp(d.wnormal, n_g, w1)
+        signed = jnp.sum(wnrm * (v_g - wpos), axis=-1)
+        avg_pos_w = wpos + (w2 * signed)[:, None] * wnrm
+    avg_nrm_w = _slerp(wnrm, n_g, w1)
 
     avg_prob = jnp.where(mismatch,
-                         w1 * d.sem_prob + w2 * (1.0 - d_prob),
-                         w1 * d.sem_prob + w2 * d_prob)
+                         w1 * data.sem_prob + w2 * (1.0 - d_prob),
+                         w1 * data.sem_prob + w2 * d_prob)
 
-    # back into the creation frame (rare gather: only active rows)
-    creation_pose = poses[jnp.clip(d.creation_ts, 0, poses.shape[0] - 1)]
+    creation_pose = poses[jnp.clip(data.creation_ts, 0, poses.shape[0] - 1)]
     cp_r = creation_pose[:, :3, :3]
     cp_t = creation_pose[:, :3, 3]
     local_pos = jnp.einsum("nji,nj->ni", cp_r, avg_pos_w - cp_t)
     local_nrm = jnp.einsum("nji,nj->ni", cp_r, avg_nrm_w)
 
-    upd_radius = jnp.maximum(jnp.minimum(new_radius_meas, d.radius),
+    upd_radius = jnp.maximum(jnp.minimum(new_radius_meas, data.radius),
                              map_cfg.min_radius)
 
-    data2 = d._replace(
-        position=jnp.where(integrate[:, None], local_pos, d.position),
-        normal=jnp.where(integrate[:, None], local_nrm, d.normal),
-        wpos=jnp.where(integrate[:, None], avg_pos_w, d.wpos),
-        wnormal=jnp.where(integrate[:, None], avg_nrm_w, d.wnormal),
-        radius=jnp.where(compatible, upd_radius, d.radius),
-        timestamp=jnp.where(compatible, ts, d.timestamp),
-        confidence=new_conf,
-        weight=new_weight if map_cfg.weighting_scheme else d.weight,
-        sem_prob=jnp.where(integrate, avg_prob, d.sem_prob),
-    )
+    f = data.f
+    intg = integrate[:, None]
+    f = f.at[:, _POS].set(jnp.where(intg, local_pos, data.position))
+    f = f.at[:, _NRM].set(jnp.where(intg, local_nrm, data.normal))
+    f = f.at[:, _WPOS].set(jnp.where(intg, avg_pos_w, wpos))
+    f = f.at[:, _WNRM].set(jnp.where(intg, avg_nrm_w, wnrm))
+    f = f.at[:, _RADIUS].set(jnp.where(compatible, upd_radius, data.radius))
+    f = f.at[:, _CONF].set(new_conf)
+    f = f.at[:, _SEMPROB].set(jnp.where(integrate, avg_prob, data.sem_prob))
+    if map_cfg.weighting_scheme:
+        f = f.at[:, _WEIGHT].set(new_weight)
 
-    # cull (update_surfels.vert:156-157,332): checked on the *old*
-    # confidence/timestamp; a compatible match always revalidates; updated
-    # odds below log_unstable always kill
-    alive = data2.valid
+    i = data.i
+    i = i.at[:, _TS].set(jnp.where(compatible, ts, data.timestamp))
+
+    # cull (update_surfels.vert:156-157,332): old-state unstable-age check,
+    # compatible revalidates, updated odds below log_unstable kill
+    alive = data.valid
     if map_cfg.use_stability:
-        unstable_old = (d.confidence < confidence_threshold) & (
-            (ts - d.timestamp) >= map_cfg.unstable_age)
+        unstable_old = (data.confidence < confidence_threshold) & (
+            (ts - data.timestamp) >= map_cfg.unstable_age)
         alive = alive & (~unstable_old | compatible)
-        alive = alive & (data2.confidence >= map_cfg.log_unstable)
-    data2 = data2._replace(valid=alive)
+        alive = alive & (new_conf >= map_cfg.log_unstable)
+    i = i.at[:, _VALID].set(alive.astype(jnp.int32))
 
-    return data2, compatible, pid
+    return PackedSurfels(f=f, i=i), compatible, pid
 
 
 def _make_new_surfels(frame: FrameInputs, pose: jnp.ndarray, ts,
                       integrated: jnp.ndarray, map_cfg: MapConfig,
                       semantic: bool):
-    """Per-pixel new-surfel records (gen_surfels.vert/geom)."""
+    """gen_surfels.vert/geom: per-pixel creation records."""
     maps = frame.maps
     hw = integrated.shape[0]
     vflat = maps.vertex.reshape(-1, 3)
@@ -562,54 +641,38 @@ def _make_new_surfels(frame: FrameInputs, pose: jnp.ndarray, ts,
     conf = jnp.where(jnp.asarray(semantic) & is_movable(labels),
                      map_cfg.log_prior - 0.5, map_cfg.log_prior)
     ts_arr = jnp.full((hw,), ts, jnp.int32)
-    data = SurfelData(
-        position=vflat, normal=nflat,
-        radius=frame.radius.reshape(-1),
-        confidence=conf, timestamp=ts_arr, creation_ts=ts_arr,
-        weight=jnp.ones((hw,), jnp.float32),
-        sem_label=labels, sem_prob=maps.sem_prob.reshape(-1),
-        valid=create,
+    data = make_packed(
+        hw, position=vflat, normal=nflat, radius=frame.radius.reshape(-1),
+        confidence=conf, weight=jnp.ones((hw,), jnp.float32),
+        sem_prob=maps.sem_prob.reshape(-1),
         wpos=vflat @ pose[:3, :3].T + pose[:3, 3],
-        wnormal=nflat @ pose[:3, :3].T)
+        wnormal=nflat @ pose[:3, :3].T,
+        timestamp=ts_arr, creation_ts=ts_arr, sem_label=labels,
+        valid=create)
     return data, create
-
-
-def _append(state: MapState, new_data: SurfelData, create: jnp.ndarray):
-    cap = state.data.position.shape[0]
-    slots = state.count + jnp.cumsum(create.astype(jnp.int32)) - 1
-    slots = jnp.where(create & (slots < cap), slots, cap)
-
-    def put(dst, src):
-        return dst.at[slots].set(src, mode="drop", unique_indices=True)
-
-    data = jax.tree.map(put, state.data, new_data)
-    n_created = jnp.sum(create & (slots < cap))
-    new_count = jnp.minimum(state.count + jnp.sum(create),
-                            cap).astype(jnp.int32)
-    return state._replace(data=data, count=new_count), n_created
 
 
 def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
                     timestamp, data_cfg: DataConfig, map_cfg: MapConfig,
                     confidence_threshold, render_ts_threshold,
                     semantic: bool = True):
-    """Full per-scan map update + post-update model render, sharing the
-    active view (the fused updateMap + next-scan render of the reference).
-
-    Returns (new_state, model_maps, n_created).
-    """
+    """Per-scan map update + post-update model render on the persistent
+    active view (the reference's updateMap + end-of-update render), with a
+    conditional view refresh. Returns (new_state, model_maps, n_created)."""
     pose = pose.astype(jnp.float32)
     pose_inv = lie.se3_inverse(pose)
     ts = jnp.asarray(timestamp, jnp.int32)
-
-    view = build_active(state, pose[:3, 3], map_cfg)
-    data2, compatible, pid = _update_view(
-        view, frame, pose, pose_inv, state.poses, ts, data_cfg, map_cfg,
-        confidence_threshold, semantic)
-    view2 = ActiveView(idx=view.idx, data=data2)
-
-    # integrated-pixel flags: any compatible surfel marks its pixel
     hw = data_cfg.height * data_cfg.width
+    cap = state.data.capacity
+    act = state.active_idx.shape[0]
+
+    state = maybe_refresh(state, pose[:3, 3], map_cfg, pending_creates=hw)
+
+    frame_img = _pack_frame_image(frame)
+    upd, compatible, pid = _update_view(
+        state.active, frame_img, frame, pose, pose_inv, state.poses, ts,
+        data_cfg, map_cfg, confidence_threshold, semantic)
+
     flag_ids = jnp.where(compatible, pid, hw)
     integrated = jnp.zeros((hw,), jnp.int32).at[flag_ids].max(
         1, mode="drop").astype(bool)
@@ -617,22 +680,36 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     new_data, create = _make_new_surfels(frame, pose, ts, integrated,
                                          map_cfg, semantic)
 
-    state2 = scatter_back(state, view2)
-    state2, n_created = _append(state2, new_data, create)
-    new_poses = state2.poses.at[
-        jnp.clip(ts, 0, state2.poses.shape[0] - 1)].set(pose)
-    state2 = state2._replace(poses=new_poses)
+    # append to the global store (reserving rows) AND to the view tail;
+    # the view copy stays authoritative between refreshes
+    g_slots = state.count + jnp.cumsum(create.astype(jnp.int32)) - 1
+    g_ok = create & (g_slots < cap)
+    global_data = state.data.put(jnp.where(g_ok, g_slots, cap), new_data)
+    n_created = jnp.sum(g_ok)
+    new_count = jnp.minimum(state.count + jnp.sum(create), cap)
 
-    # post-update render at the same pose: updated active view + the scan's
-    # new surfels as a second candidate stream (no second active-view pass)
-    proj_a = _project_surfels(data2, pose_inv, data_cfg)
-    sel_a = _selection(data2, proj_a, map_cfg, confidence_threshold,
+    a_slots = state.active_count + jnp.cumsum(create.astype(jnp.int32)) - 1
+    a_ok = g_ok & (a_slots < act)
+    a_slots = jnp.where(a_ok, a_slots, act)
+    active2 = upd.put(a_slots, new_data)
+    active_idx2 = state.active_idx.at[a_slots].set(
+        jnp.where(g_ok, g_slots, cap).astype(jnp.int32), mode="drop",
+        unique_indices=True)
+    new_active_count = jnp.minimum(state.active_count + jnp.sum(a_ok),
+                                   act).astype(jnp.int32)
+
+    new_poses = state.poses.at[
+        jnp.clip(ts, 0, state.poses.shape[0] - 1)].set(pose)
+
+    state2 = MapState(data=global_data, count=new_count.astype(jnp.int32),
+                      poses=new_poses, active_idx=active_idx2,
+                      active=active2, active_count=new_active_count,
+                      anchor=state.anchor)
+
+    proj_a = _project_surfels(active2, pose_inv, data_cfg)
+    sel_a = _selection(active2, proj_a, map_cfg, confidence_threshold,
                        render_ts_threshold, "new")
-    proj_n = _project_surfels(new_data, pose_inv, data_cfg)
-    sel_n = _selection(new_data, proj_n, map_cfg, confidence_threshold,
-                       render_ts_threshold, "new")
-    model_maps = _resolve_maps([RenderEntries(data2, proj_a, sel_a),
-                                RenderEntries(new_data, proj_n, sel_n)],
+    model_maps = _resolve_maps([RenderEntries(active2, proj_a, sel_a)],
                                data_cfg)
     return state2, model_maps, n_created
 
@@ -640,41 +717,58 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
 def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
                timestamp, data_cfg: DataConfig, map_cfg: MapConfig,
                confidence_threshold, semantic: bool = True):
-    """Map update without the fused render (compatibility/test entry)."""
+    """Map update without using the rendered output (test/compat entry).
+    Returns a SYNCED state so callers can inspect the global store directly
+    (the hot path keeps updates in the active view instead)."""
     state2, _, n_created = fuse_and_render(
         state, frame, pose, timestamp, data_cfg, map_cfg,
         confidence_threshold, jnp.asarray(timestamp, jnp.int32) + 1,
         semantic)
-    return state2, n_created
+    return sync(state2), n_created
 
 
 def compact(state: MapState) -> MapState:
-    """Stream-compact valid surfels to the front (the reference's
-    copy_surfels transform-feedback compaction, run when the high-water mark
-    nears capacity)."""
+    """copy_surfels-style stream compaction of the global store; the active
+    view is invalidated (anchor -> inf forces a refresh)."""
+    state = sync(state)
     d = state.data
-    cap = d.position.shape[0]
+    cap = d.capacity
+    act = state.active_idx.shape[0]
     order = jnp.cumsum(d.valid.astype(jnp.int32)) - 1
     slots = jnp.where(d.valid, order, cap)
-
-    def move(arr):
-        fill = jnp.zeros((), arr.dtype)
-        out = jnp.full(arr.shape, fill, arr.dtype)
-        return out.at[slots].set(arr, mode="drop", unique_indices=True)
-
-    data = jax.tree.map(move, d)
-    return MapState(data=data, count=jnp.sum(d.valid).astype(jnp.int32),
-                    poses=state.poses)
+    moved = make_packed(cap).put(slots, d)
+    return state._replace(
+        data=moved, count=jnp.sum(d.valid).astype(jnp.int32),
+        active_idx=jnp.full((act,), cap, jnp.int32),
+        active=make_packed(act),
+        active_count=jnp.zeros((), jnp.int32),
+        anchor=jnp.full((3,), jnp.inf, jnp.float32))
 
 
 def update_poses(state: MapState, new_poses: jnp.ndarray) -> MapState:
-    """Rewrite the pose table (after loop-closure optimization) and refresh
-    the cached world-frame geometry — the TPU analogue of
-    ``SurfelMap::updatePoses`` (SurfelMap.cpp:485-490): surfels themselves
-    are never touched, only their poses."""
+    """Rewrite the pose table after loop closure and refresh the cached
+    world-frame geometry (SurfelMap::updatePoses semantics: surfels are
+    never touched, only poses). Invalidates the active view."""
+    state = sync(state)
     d = state.data
+    cap = d.capacity
+    act = state.active_idx.shape[0]
     cp = new_poses[jnp.clip(d.creation_ts, 0, new_poses.shape[0] - 1)]
     wpos = jnp.einsum("nij,nj->ni", cp[:, :3, :3], d.position) + cp[:, :3, 3]
     wnormal = jnp.einsum("nij,nj->ni", cp[:, :3, :3], d.normal)
-    return MapState(data=d._replace(wpos=wpos, wnormal=wnormal),
-                    count=state.count, poses=new_poses.astype(jnp.float32))
+    f = d.f.at[:, _WPOS].set(wpos).at[:, _WNRM].set(wnormal)
+    return state._replace(
+        data=PackedSurfels(f=f, i=d.i),
+        poses=new_poses.astype(jnp.float32),
+        active_idx=jnp.full((act,), cap, jnp.int32),
+        active=make_packed(act),
+        active_count=jnp.zeros((), jnp.int32),
+        anchor=jnp.full((3,), jnp.inf, jnp.float32))
+
+
+# legacy aliases used by tests / the sharded step
+SurfelData = PackedSurfels
+
+
+def _zeros_data(n: int) -> PackedSurfels:
+    return make_packed(n)

@@ -65,20 +65,6 @@ def make_2d_mesh(n_data: int, n_model: int) -> Mesh:
 # sharded SLAM step
 # ---------------------------------------------------------------------------
 
-def init_sharded_map(cfg: SumaConfig, mesh: Mesh) -> sm.MapState:
-    """Map state with the surfel axis sharded into per-device blocks."""
-    state = sm.empty_map(cfg.map)
-    ndev = mesh.devices.size
-    spec = sm.MapState(
-        data=jax.tree.map(lambda _: P("map"), state.data),
-        count=P(), poses=P())
-    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
-                             is_leaf=lambda x: isinstance(x, P))
-    # per-shard count: replicate a zero; counts live per-device inside
-    # shard_map, so the global count is the sum of block counts
-    return jax.device_put(state, shardings)
-
-
 def _merge_rendered(local_maps: Maps, local_depth: jnp.ndarray, axis: str):
     """Depth-min merge of per-device renders (all_gather + argmin)."""
     depth_all = jax.lax.all_gather(local_depth, axis)          # [D, H, W]
@@ -93,7 +79,7 @@ def _merge_rendered(local_maps: Maps, local_depth: jnp.ndarray, axis: str):
     return jax.tree.map(pick, maps_all)
 
 
-def _local_render(data: sm.SurfelData, pose: jnp.ndarray, cfg: SumaConfig,
+def _local_render(data: sm.PackedSurfels, pose: jnp.ndarray, cfg: SumaConfig,
                   conf_threshold, ts_threshold):
     """One device's block render + its per-pixel depth for merging."""
     pose_inv = lie.se3_inverse(pose)
@@ -187,12 +173,10 @@ def make_sharded_step(cfg: SumaConfig, mesh: Mesh, axis: str = "map"):
         win_shard = jnp.argmin(wdepth_all, axis=0)              # [HW]
         i_am_winner = win_shard == me
 
-        view = sm.ActiveView(
-            idx=jnp.arange(block.position.shape[0], dtype=jnp.int32),
-            data=block)
+        frame_img = sm._pack_frame_image(frame)
         data2, compatible, pid = sm._update_view(
-            view, frame, new_pose, pose_inv, poses, ts, cfg.data, cfg.map,
-            conf_threshold, cfg.semantic.enabled,
+            block, frame_img, frame, new_pose, pose_inv, poses, ts,
+            cfg.data, cfg.map, conf_threshold, cfg.semantic.enabled,
             index_winner_override=(local_winner, i_am_winner))
 
         # integrated flags: OR across devices (psum of 0/1)
@@ -206,18 +190,22 @@ def make_sharded_step(cfg: SumaConfig, mesh: Mesh, axis: str = "map"):
                                                 cfg.semantic.enabled)
         # round-robin block assignment by pixel id
         mine = create & (jnp.arange(hw, dtype=jnp.int32) % ndev == me)
-        block_state = sm.MapState(data=data2, count=count,
-                                  poses=poses)
-        block_state, n_created = sm._append(block_state, new_data, mine)
-        new_poses = block_state.poses.at[
+        capb = data2.capacity
+        slots = count + jnp.cumsum(mine.astype(jnp.int32)) - 1
+        ok = mine & (slots < capb)
+        data3 = data2.put(jnp.where(ok, slots, capb), new_data)
+        n_created = jnp.sum(ok)
+        new_block_count = jnp.minimum(count + jnp.sum(mine),
+                                      capb).astype(jnp.int32)
+        new_poses = poses.at[
             jnp.clip(ts, 0, poses.shape[0] - 1)].set(new_pose)
 
         info = {
             "iterations": iters,
             "n_created": jax.lax.psum(n_created, axis),
-            "count": jax.lax.psum(block_state.count, axis),
+            "count": jax.lax.psum(new_block_count, axis),
         }
-        return (block_state.data, block_state.count, new_poses, new_pose,
+        return (data3, new_block_count, new_poses, new_pose,
                 increment, info)
 
     sharded = shard_map(

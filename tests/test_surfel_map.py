@@ -150,10 +150,20 @@ def test_compact():
     scan = render_scan(world, jnp.eye(4), CFG)
     state = sm.empty_map(MCFG)
     state, _ = ingest(state, scan, jnp.eye(4), 0)
-    # kill every other surfel
+    # kill every other surfel (packed int validity column); drop the active
+    # view so the edited global store is authoritative
     v = np.asarray(state.data.valid).copy()
     v[::2] = False
-    state = state._replace(data=state.data._replace(valid=jnp.asarray(v)))
+    i_arr = np.asarray(state.data.i).copy()
+    i_arr[:, 3] = v.astype(np.int32)
+    cap = state.data.capacity
+    act = state.active_idx.shape[0]
+    state = state._replace(
+        data=state.data._replace(i=jnp.asarray(i_arr)),
+        active_idx=jnp.full((act,), cap, jnp.int32),
+        active=sm.make_packed(act),
+        active_count=jnp.zeros((), jnp.int32),
+        anchor=jnp.full((3,), jnp.inf, jnp.float32))
     n_valid = int(v.sum())
     compacted = sm.compact(state)
     assert int(compacted.count) == n_valid
