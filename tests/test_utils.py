@@ -1,0 +1,94 @@
+"""Tests for foundation utilities: stopwatch, event log, scan accumulator,
+robocar reader, config XML parity."""
+import json
+import os
+import time
+
+import numpy as np
+
+from semantic_suma_tpu.config import SumaConfig, config_from_xml, sweep
+from semantic_suma_tpu.io.robocar import RobocarReader
+from semantic_suma_tpu.utils.eventlog import EventLog
+from semantic_suma_tpu.utils.scan_accumulator import ScanAccumulator
+from semantic_suma_tpu.utils.timing import Stopwatch
+
+
+def test_stopwatch_nesting():
+    sw = Stopwatch()
+    sw.tic()
+    time.sleep(0.01)
+    sw.tic()
+    time.sleep(0.01)
+    inner = sw.toc("inner")
+    outer = sw.toc("outer")
+    assert inner >= 0.01
+    assert outer >= inner
+    rep = sw.report()
+    assert "inner" in rep and "outer" in rep
+    assert sw.stats["inner"].count == 1
+
+
+def test_stopwatch_scope():
+    sw = Stopwatch()
+    with sw.scope("work"):
+        time.sleep(0.005)
+    assert sw.stats["work"].last >= 0.005
+
+
+def test_eventlog(tmp_path):
+    path = str(tmp_path / "log.jsonl")
+    log = EventLog("exp", path)
+    log.log("loop-closure", frame=12, to=3)
+    log.log("done", frames=100)
+    log.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["event"] == "loop-closure" and lines[0]["frame"] == 12
+    assert lines[1]["frames"] == 100
+
+
+def test_scan_accumulator():
+    acc = ScanAccumulator(history_size=3, stride=2)
+    pose = np.eye(4)
+    pose[:3, 3] = [1, 0, 0]
+    for i in range(8):
+        acc.insert(np.ones((10, 3), np.float32), pose)
+    assert acc.size() == 3  # stride 2 over 8 inserts, capped at 3
+    cloud = acc.world_cloud()
+    assert cloud.shape == (30, 3)
+    np.testing.assert_allclose(cloud[0], [2, 1, 1])
+    assert acc.world_cloud(max_points=7).shape == (7, 3)
+
+
+def test_robocar_reader(tmp_path):
+    d = tmp_path / "scans"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(4, 50))
+    pts.tofile(d / "0001.bin")
+    pts.tofile(d / "0002.bin")
+    r = RobocarReader(str(d))
+    assert r.count() == 2
+    scan = r.read(0)
+    assert scan.points.shape == (50, 3)
+    np.testing.assert_allclose(scan.points[:, 0], pts[0], rtol=1e-6)
+    assert np.all(scan.labels == 0)
+
+
+def test_config_xml_roundtrip():
+    cfg = config_from_xml("/root/reference/config/default.xml")
+    assert cfg.data.width == 900 and cfg.data.height == 64
+    assert cfg.icp.max_iterations == 33
+    assert cfg.icp.weighting == "huber"
+    assert abs(cfg.map.p_stable - 0.6) < 1e-9
+    assert cfg.loop.search_distance == 50
+    assert cfg.approach == "frame-to-model"
+    assert cfg.map.submap_dimension == 4
+
+
+def test_config_sweep():
+    cfg = SumaConfig()
+    grid = {"icp.factor": [0.25, 0.5], "map.p_stable": [0.6, 0.7]}
+    combos = list(sweep(cfg, grid))
+    assert len(combos) == 4
+    assert {c.icp.factor for c in combos} == {0.25, 0.5}
+    assert combos[0].map.p_stable == 0.6
