@@ -178,6 +178,13 @@ class SurfelSLAM:
             self.state, jnp.asarray(points), jnp.asarray(labels),
             jnp.asarray(probs), jnp.asarray(point_valid), ct, self.cfg)
 
+        # near-capacity: stream-compact the store (the reference's
+        # copy_surfels pass does this implicitly every scan)
+        cap = self.cfg.map.surfel_capacity
+        hw = self.cfg.data.height * self.cfg.data.width
+        if int(info.map_count) + hw > cap:
+            self.state = self.state._replace(map=sm.compact(self.state.map))
+
         pose = np.asarray(info.pose)
         self.poses.append(pose)
         if len(self.poses) > 1:

@@ -180,10 +180,22 @@ def empty_map(cfg: MapConfig) -> MapState:
 # ---------------------------------------------------------------------------
 
 def sync(state: MapState) -> MapState:
-    """Write the (authoritative) active view back into the global store."""
+    """Write the (authoritative) active view back into the global store.
+
+    The per-scan update only maintains the world-frame geometry cache; the
+    creation-frame (local) geometry is re-derived here from the pose table —
+    one [ACT] pose gather per sync instead of one per scan."""
+    act = state.active
+    cp = state.poses[jnp.clip(act.creation_ts, 0, state.poses.shape[0] - 1)]
+    cp_r = cp[:, :3, :3]
+    cp_t = cp[:, :3, 3]
+    local_pos = jnp.einsum("nji,nj->ni", cp_r, act.wpos - cp_t)
+    local_nrm = jnp.einsum("nji,nj->ni", cp_r, act.wnormal)
+    f = act.f.at[:, _POS].set(local_pos).at[:, _NRM].set(local_nrm)
+    act2 = PackedSurfels(f=f, i=act.i)
     cap = state.data.capacity
     slots = jnp.minimum(state.active_idx, cap)
-    return state._replace(data=state.data.put(slots, state.active))
+    return state._replace(data=state.data.put(slots, act2), active=act2)
 
 
 def refresh_active(state: MapState, center: jnp.ndarray, cfg: MapConfig,
@@ -229,7 +241,11 @@ def maybe_refresh(state: MapState, center: jnp.ndarray, cfg: MapConfig,
     act = state.active_idx.shape[0]
     rd = refresh_distance if refresh_distance is not None else margin * 0.5
     moved = jnp.linalg.norm(center - state.anchor) > rd
-    full = state.active_count + pending_creates > act
+    # tail-full only helps if a refresh can actually free slots; when the
+    # working set saturates the view (active_count == ACT even after a
+    # rebuild) a refresh every scan would thrash at no benefit
+    full = (state.active_count + pending_creates > act) \
+        & (state.active_count < act)
     need = moved | full | jnp.any(~jnp.isfinite(state.anchor))
     return jax.lax.cond(
         need, lambda s: refresh_active(s, center, cfg, margin), lambda s: s,
@@ -590,19 +606,14 @@ def _update_view(data: PackedSurfels, frame_img: jnp.ndarray,
                          w1 * data.sem_prob + w2 * (1.0 - d_prob),
                          w1 * data.sem_prob + w2 * d_prob)
 
-    creation_pose = poses[jnp.clip(data.creation_ts, 0, poses.shape[0] - 1)]
-    cp_r = creation_pose[:, :3, :3]
-    cp_t = creation_pose[:, :3, 3]
-    local_pos = jnp.einsum("nji,nj->ni", cp_r, avg_pos_w - cp_t)
-    local_nrm = jnp.einsum("nji,nj->ni", cp_r, avg_nrm_w)
-
     upd_radius = jnp.maximum(jnp.minimum(new_radius_meas, data.radius),
                              map_cfg.min_radius)
 
+    # only the world-frame cache is maintained per scan; the creation-frame
+    # geometry is re-derived from the pose table at sync() time, removing a
+    # per-scan [ACT, 4, 4] pose gather from the hot path
     f = data.f
     intg = integrate[:, None]
-    f = f.at[:, _POS].set(jnp.where(intg, local_pos, data.position))
-    f = f.at[:, _NRM].set(jnp.where(intg, local_nrm, data.normal))
     f = f.at[:, _WPOS].set(jnp.where(intg, avg_pos_w, wpos))
     f = f.at[:, _WNRM].set(jnp.where(intg, avg_nrm_w, wnrm))
     f = f.at[:, _RADIUS].set(jnp.where(compatible, upd_radius, data.radius))
@@ -666,7 +677,10 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     cap = state.data.capacity
     act = state.active_idx.shape[0]
 
-    state = maybe_refresh(state, pose[:3, 3], map_cfg, pending_creates=hw)
+    # a quarter image of creations is a generous steady-state estimate; the
+    # movement-based refresh (every ~8 scans) bounds any shortfall
+    state = maybe_refresh(state, pose[:3, 3], map_cfg,
+                          pending_creates=hw // 4)
 
     frame_img = _pack_frame_image(frame)
     upd, compatible, pid = _update_view(
@@ -680,23 +694,44 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     new_data, create = _make_new_surfels(frame, pose, ts, integrated,
                                          map_cfg, semantic)
 
-    # append to the global store (reserving rows) AND to the view tail;
-    # the view copy stays authoritative between refreshes
-    g_slots = state.count + jnp.cumsum(create.astype(jnp.int32)) - 1
-    g_ok = create & (g_slots < cap)
-    global_data = state.data.put(jnp.where(g_ok, g_slots, cap), new_data)
-    n_created = jnp.sum(g_ok)
-    new_count = jnp.minimum(state.count + jnp.sum(create), cap)
+    # Append to the global store AND the view tail. Creation slots are
+    # contiguous by construction, so instead of a (slow) row scatter we
+    # stream-compact the created rows to the front of the per-scan block
+    # and write it with ONE dynamic_update_slice at each append cursor.
+    order = jnp.cumsum(create.astype(jnp.int32)) - 1
+    cslots = jnp.where(create, order, hw)
+    block = make_packed(hw).put(cslots, new_data)
+    n_new = jnp.sum(create)
 
-    a_slots = state.active_count + jnp.cumsum(create.astype(jnp.int32)) - 1
-    a_ok = g_ok & (a_slots < act)
-    a_slots = jnp.where(a_ok, a_slots, act)
-    active2 = upd.put(a_slots, new_data)
-    active_idx2 = state.active_idx.at[a_slots].set(
-        jnp.where(g_ok, g_slots, cap).astype(jnp.int32), mode="drop",
-        unique_indices=True)
-    new_active_count = jnp.minimum(state.active_count + jnp.sum(a_ok),
-                                   act).astype(jnp.int32)
+    g_fit = state.count + hw <= cap
+    global_data = jax.lax.cond(
+        g_fit,
+        lambda sd: PackedSurfels(
+            f=jax.lax.dynamic_update_slice(sd.f, block.f, (state.count, 0)),
+            i=jax.lax.dynamic_update_slice(sd.i, block.i, (state.count, 0))),
+        lambda sd: sd, state.data)
+    n_created = jnp.where(g_fit, n_new, 0)
+    new_count = jnp.minimum(state.count + n_created, cap)
+
+    a_fit = g_fit & (state.active_count + hw <= act)
+    idx_block = jnp.where(
+        jnp.arange(hw, dtype=jnp.int32) < n_new,
+        state.count + jnp.arange(hw, dtype=jnp.int32), cap)
+
+    def view_append(args):
+        av, ai = args
+        return (PackedSurfels(
+            f=jax.lax.dynamic_update_slice(av.f, block.f,
+                                           (state.active_count, 0)),
+            i=jax.lax.dynamic_update_slice(av.i, block.i,
+                                           (state.active_count, 0))),
+            jax.lax.dynamic_update_slice(ai, idx_block,
+                                         (state.active_count,)))
+
+    active2, active_idx2 = jax.lax.cond(
+        a_fit, view_append, lambda args: args, (upd, state.active_idx))
+    new_active_count = jnp.where(a_fit, state.active_count + n_new,
+                                 state.active_count).astype(jnp.int32)
 
     new_poses = state.poses.at[
         jnp.clip(ts, 0, state.poses.shape[0] - 1)].set(pose)
