@@ -71,7 +71,7 @@ def main():
     print(json.dumps(result))
     # extra context for humans, not parsed by the driver
     print(f"# {n_timed} scans in {dt:.2f}s; map surfels={int(info.map_count)}; "
-          f"mean GN iters={float(info.iterations):.0f}", file=sys.stderr)
+          f"last-scan GN iters={float(info.iterations):.0f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -51,13 +51,13 @@ def build_config(args):
     return cfg
 
 
-def save_map_ply(path: str, state, min_confidence: float = 0.0) -> None:
+def save_map_ply(path: str, state, map_cfg, min_confidence: float = 0.0) -> None:
     """Export world-frame surfels as a PLY point cloud with normals,
     radius, confidence and semantic color (the reference's renderMaps dump,
     VisualizerWindow.cpp:815-840, minus the GUI)."""
     from .core.surfel_map import sync
     from .models.labels import label_colors
-    d = sync(state.map).data
+    d = sync(state.map, map_cfg).data
     valid = np.asarray(d.valid) & (np.asarray(d.confidence) >= min_confidence)
     pos = np.asarray(d.wpos)[valid]
     nrm = np.asarray(d.wnormal)[valid]
@@ -147,7 +147,7 @@ def cmd_run(args) -> int:
             json.dump(slam.statistics, f)
 
     if args.save_map:
-        save_map_ply(args.save_map, slam.state)
+        save_map_ply(args.save_map, slam.state, cfg.map)
 
     if args.plot_dir:
         import os

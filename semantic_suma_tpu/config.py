@@ -70,6 +70,14 @@ class MapConfig:
     surfel_capacity: int = 1 << 22      # reference: 2048^2 (SurfelMap.h:87)
     active_capacity: int = 1 << 19      # surfels rendered/updated per scan
     max_poses: int = 10000              # pose texture size (SurfelMap.h:205)
+    # paging granularity: the global store is an arena of fixed-size blocks
+    # (the TPU analogue of the reference's 20m submap tiles,
+    # SurfelMap.cpp:744-824); the active view pages whole blocks in/out with
+    # contiguous copies instead of per-row gather/scatter
+    block_size: int = 2048
+    # minimum rows in the view's fresh (creation) region; SumaConfig sets
+    # this to one full range image automatically
+    min_fresh_rows: int = 0
     min_radius: float = 0.03
     max_radius: float = 1.00
     max_angle: float = 90.0             # creation view-angle gate (deg)
@@ -107,6 +115,16 @@ class MapConfig:
     @property
     def active_radius(self) -> float:
         return (2 * self.submap_dimension + 1) * self.submap_extent / 2.0
+
+    @property
+    def effective_block_size(self) -> int:
+        """Block size adapted so the active view holds >= 16 blocks and both
+        capacities divide evenly (capacities are powers of two in practice)."""
+        bs = min(self.block_size, max(64, self.active_capacity // 16))
+        while bs > 1 and (self.active_capacity % bs
+                          or self.surfel_capacity % bs):
+            bs //= 2
+        return bs
 
 
 @dataclass(frozen=True)
@@ -165,6 +183,13 @@ class SumaConfig:
     approach: str = "frame-to-model"  # or "frame-to-frame"
     odometry_info_translation: float = 1.0
     odometry_info_rotation: float = 1.0
+
+    def __post_init__(self):
+        # the view's fresh region must hold one full image of creations
+        hw = self.data.height * self.data.width
+        if self.map.min_fresh_rows < hw:
+            object.__setattr__(self, "map",
+                               replace(self.map, min_fresh_rows=hw))
 
     def replace(self, **kw) -> "SumaConfig":
         return replace(self, **kw)

@@ -280,7 +280,8 @@ class LoopCloser:
         poses_arr = np.asarray(slam.state.map.poses).copy()
         opt = np.stack(self.posegraph.poses())
         poses_arr[:min(n, poses_arr.shape[0])] = opt[:poses_arr.shape[0]]
-        new_map = sm.update_poses(slam.state.map, jnp.asarray(poses_arr))
+        new_map = sm.update_poses(slam.state.map, jnp.asarray(poses_arr),
+                                  self.cfg.map)
 
         # re-render the model view at the corrected pose so the next ICP
         # tracks against the corrected map

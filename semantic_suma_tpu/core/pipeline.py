@@ -97,9 +97,15 @@ def odometry_step(state: SlamState, points: jnp.ndarray, labels: jnp.ndarray,
         recovery_cfg = replace(cfg.icp,
                                max_distance=cfg.icp.fallback_max_distance,
                                max_angle=cfg.icp.fallback_max_angle)
-        rec = icp_ops.gauss_newton(data_maps, state.last_maps, t0,
-                                   recovery_cfg, cfg.data, semantic=semantic)
-        increment = jnp.where(jumped, rec.pose, increment)
+        # lax.cond: the recovery alignment (a second full GN loop) only
+        # executes on the rare track-loss scans, not every step
+        rec_pose = jax.lax.cond(
+            jumped,
+            lambda: icp_ops.gauss_newton(
+                data_maps, state.last_maps, t0, recovery_cfg, cfg.data,
+                semantic=semantic).pose,
+            lambda: increment)
+        increment = jnp.where(jumped, rec_pose, increment)
 
     # first scan: no motion
     increment = jnp.where(ts == 0, jnp.eye(4, dtype=increment.dtype), increment)
@@ -183,7 +189,8 @@ class SurfelSLAM:
         cap = self.cfg.map.surfel_capacity
         hw = self.cfg.data.height * self.cfg.data.width
         if int(info.map_count) + hw > cap:
-            self.state = self.state._replace(map=sm.compact(self.state.map))
+            self.state = self.state._replace(
+                map=sm.compact(self.state.map, self.cfg.map))
 
         pose = np.asarray(info.pose)
         self.poses.append(pose)

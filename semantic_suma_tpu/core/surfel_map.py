@@ -145,13 +145,27 @@ def make_packed(n: int, *, position=None, normal=None, radius=None,
 
 
 class MapState(NamedTuple):
-    data: PackedSurfels       # [CAP] global store
-    count: jnp.ndarray        # int32 allocation high-water mark
-    poses: jnp.ndarray        # [MAX_POSES, 4, 4]
-    active_idx: jnp.ndarray   # [ACT] int32 global row per view slot (CAP=free)
-    active: PackedSurfels     # [ACT] authoritative rows for active_idx
-    active_count: jnp.ndarray  # int32 used view slots
-    anchor: jnp.ndarray       # [3] refresh center (inf => force refresh)
+    """Block-paged surfel map.
+
+    The global store is an arena of fixed-size blocks (``MapConfig.
+    effective_block_size`` rows each) — the TPU analogue of the reference's
+    20 m submap tiles (``SurfelMap.cpp:744-824``). The active view is K
+    whole blocks: the first K-F hold the map working set near the vehicle,
+    the last F are freshly allocated empty blocks that receive this cycle's
+    surfel creations. Paging moves blocks with CONTIGUOUS copies (a [K]
+    block-index gather/scatter), never per-row gather/scatter — per-row ops
+    on a multi-million-row store measure 25-50x slower on TPU.
+    """
+
+    data: PackedSurfels        # [CAP] global store (block arena)
+    count: jnp.ndarray         # int32 logical number of surfels allocated
+    poses: jnp.ndarray         # [MAX_POSES, 4, 4]
+    active_blocks: jnp.ndarray  # [K] int32 global block id per view block
+    #                             (>= num_blocks = unmapped/dropped)
+    active: PackedSurfels      # [K*BS] authoritative rows for those blocks
+    active_count: jnp.ndarray  # int32 append cursor within the view
+    block_count: jnp.ndarray   # int32 allocated blocks (incl. eager fresh)
+    anchor: jnp.ndarray        # [3] refresh center (inf => force refresh)
 
 
 class FrameInputs(NamedTuple):
@@ -160,17 +174,36 @@ class FrameInputs(NamedTuple):
     radius_valid: jnp.ndarray  # [H, W] bool
 
 
+def _geometry(cfg: MapConfig):
+    """(block_size, num_blocks, view_blocks K, fresh_blocks F)."""
+    bs = cfg.effective_block_size
+    nb = cfg.surfel_capacity // bs
+    k = cfg.active_capacity // bs
+    want = max(-(-k // 3), -(-cfg.min_fresh_rows // bs))
+    f = max(1, min(k - 1, want)) if k > 1 else 1
+    return bs, nb, k, f
+
+
+def _fresh_view(nb: int, k: int, f: int, first_fresh) -> jnp.ndarray:
+    """active_blocks with no map blocks (pads) and fresh ids starting at
+    ``first_fresh`` (a traced or static int)."""
+    pads = nb + jnp.arange(k - f, dtype=jnp.int32)
+    fresh = first_fresh + jnp.arange(f, dtype=jnp.int32)
+    return jnp.concatenate([pads, fresh.astype(jnp.int32)])
+
+
 def empty_map(cfg: MapConfig) -> MapState:
+    bs, nb, k, f = _geometry(cfg)
     poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                              (cfg.max_poses, 4, 4))
     return MapState(
         data=make_packed(cfg.surfel_capacity),
         count=jnp.zeros((), jnp.int32),
         poses=poses,
-        active_idx=jnp.full((cfg.active_capacity,), cfg.surfel_capacity,
-                            jnp.int32),
+        active_blocks=_fresh_view(nb, k, f, 0),
         active=make_packed(cfg.active_capacity),
-        active_count=jnp.zeros((), jnp.int32),
+        active_count=jnp.asarray((k - f) * bs, jnp.int32),
+        block_count=jnp.zeros((), jnp.int32),
         anchor=jnp.full((3,), jnp.inf, jnp.float32),
     )
 
@@ -179,12 +212,28 @@ def empty_map(cfg: MapConfig) -> MapState:
 # active view lifecycle
 # ---------------------------------------------------------------------------
 
-def sync(state: MapState) -> MapState:
-    """Write the (authoritative) active view back into the global store.
+def _block_take(data: PackedSurfels, ids: jnp.ndarray,
+                bs: int) -> PackedSurfels:
+    """Gather whole blocks (contiguous row ranges); ids >= num_blocks yield
+    invalid (zero) rows."""
+    nb = data.capacity // bs
+    f = data.f.reshape(nb, bs, NUM_F)
+    i = data.i.reshape(nb, bs, NUM_I)
+    safe = jnp.minimum(ids, nb - 1)
+    ok = ids < nb
+    bf = f[safe]
+    bi = jnp.where(ok[:, None, None], i[safe], 0)
+    return PackedSurfels(f=bf.reshape(-1, NUM_F), i=bi.reshape(-1, NUM_I))
+
+
+def sync(state: MapState, cfg: MapConfig) -> MapState:
+    """Write the (authoritative) active view back into the global store —
+    one [K]-block contiguous scatter, idempotent.
 
     The per-scan update only maintains the world-frame geometry cache; the
     creation-frame (local) geometry is re-derived here from the pose table —
     one [ACT] pose gather per sync instead of one per scan."""
+    bs, nb, k, f_blocks = _geometry(cfg)
     act = state.active
     cp = state.poses[jnp.clip(act.creation_ts, 0, state.poses.shape[0] - 1)]
     cp_r = cp[:, :3, :3]
@@ -193,59 +242,87 @@ def sync(state: MapState) -> MapState:
     local_nrm = jnp.einsum("nji,nj->ni", cp_r, act.wnormal)
     f = act.f.at[:, _POS].set(local_pos).at[:, _NRM].set(local_nrm)
     act2 = PackedSurfels(f=f, i=act.i)
-    cap = state.data.capacity
-    slots = jnp.minimum(state.active_idx, cap)
-    return state._replace(data=state.data.put(slots, act2), active=act2)
+    new_f = state.data.f.reshape(nb, bs, NUM_F).at[state.active_blocks].set(
+        act2.f.reshape(k, bs, NUM_F), mode="drop", unique_indices=True)
+    new_i = state.data.i.reshape(nb, bs, NUM_I).at[state.active_blocks].set(
+        act2.i.reshape(k, bs, NUM_I), mode="drop", unique_indices=True)
+    return state._replace(
+        data=PackedSurfels(f=new_f.reshape(-1, NUM_F),
+                           i=new_i.reshape(-1, NUM_I)),
+        active=act2)
 
 
 def refresh_active(state: MapState, center: jnp.ndarray, cfg: MapConfig,
-                   margin: float = 25.0, priority: str = "new") -> MapState:
-    """Sync, then rebuild the view around ``center``.
+                   margin: float = 25.0, priority: str = "new",
+                   ts_threshold=None) -> MapState:
+    """Sync, then rebuild the view around ``center`` at block granularity.
 
-    On overflow, ``priority`` decides who survives: ``"new"`` keeps the most
-    recently created surfels (dropping the current area's fresh surfels
-    collapses odometry association), ``"old"`` keeps the oldest (the
-    inactive-map renders of loop closure need exactly those). With
-    adequately sized views overflow never triggers and both are identical.
-    """
-    state = sync(state)
-    cap = state.data.capacity
-    act = state.active_idx.shape[0]
+    Map blocks are scored by the distance of their nearest valid surfel to
+    ``center`` (``priority="old"`` restricts scoring to surfels created
+    before ``ts_threshold`` so loop closure pages in the inactive map) with
+    a small bias toward newer/older blocks on near-ties; the best K-F blocks
+    are paged in with one contiguous block gather. F fresh blocks are
+    allocated eagerly from the arena tail for this cycle's creations;
+    unused fresh blocks from the previous cycle are rolled back first, so
+    steady-state arena burn is exactly the created surfels (rounded up to
+    one block per cycle)."""
+    bs, nb, k, f_blocks = _geometry(cfg)
+    state = sync(state, cfg)
+
+    # roll back unused eager fresh blocks from the previous cycle
+    fresh_start_row = (k - f_blocks) * bs
+    fresh_used = jnp.maximum(state.active_count - fresh_start_row, 0)
+    used_blocks = (fresh_used + bs - 1) // bs
+    next_alloc = jnp.minimum(state.active_blocks[k - f_blocks] + used_blocks,
+                             nb)
+
     d = state.data
-    near = jnp.linalg.norm(d.wpos - center[None, :], axis=-1) \
-        < (cfg.active_radius + margin)
-    sel = d.valid & near
-    total = jnp.minimum(jnp.sum(sel), act)
-    if priority == "new":
-        # rank from the end: newest selected row has rank 1
-        rank_end = jnp.cumsum(sel[::-1].astype(jnp.int32))[::-1]
-        keep = sel & (rank_end <= act)
-        pos = total - rank_end
-    else:
-        rank = jnp.cumsum(sel.astype(jnp.int32))
-        keep = sel & (rank <= act)
-        pos = rank - 1
-    slots = jnp.where(keep, pos, act)
-    idx = jnp.full((act,), cap, jnp.int32).at[slots].set(
-        jnp.arange(cap, dtype=jnp.int32), mode="drop", unique_indices=True)
+    wpos = d.wpos.reshape(nb, bs, 3)
+    valid = d.valid.reshape(nb, bs)
+    cts = d.creation_ts.reshape(nb, bs)
+    if priority == "old" and ts_threshold is not None:
+        valid = valid & (cts < ts_threshold)
+    dist = jnp.linalg.norm(wpos - center[None, None, :], axis=-1)
+    dist = jnp.where(valid, dist, jnp.inf)
+    dmin = jnp.min(dist, axis=1)                              # [NB]
+    allocated = jnp.arange(nb, dtype=jnp.int32) < next_alloc
+    near = dmin < (cfg.active_radius + margin)
+    score = jnp.where(allocated & near, -dmin, -jnp.inf)
+    # near-tie bias: "new" prefers recently created blocks, "old" older ones
+    bias = jnp.max(jnp.where(valid, cts, 0), axis=1).astype(jnp.float32)
+    score = score + (1e-5 * bias if priority == "new" else -1e-5 * bias)
+    top_score, top_ids = jax.lax.top_k(score, k - f_blocks)
+    pads = nb + jnp.arange(k - f_blocks, dtype=jnp.int32)
+    map_blocks = jnp.where(jnp.isfinite(top_score),
+                           top_ids.astype(jnp.int32), pads)
+
+    fresh = next_alloc + jnp.arange(f_blocks, dtype=jnp.int32)
+    fresh = jnp.where(fresh < nb, fresh,
+                      nb + (k - f_blocks)
+                      + jnp.arange(f_blocks, dtype=jnp.int32))
+    active_blocks = jnp.concatenate([map_blocks, fresh.astype(jnp.int32)])
+
     return state._replace(
-        active_idx=idx, active=state.data.take(idx),
-        active_count=total.astype(jnp.int32), anchor=center)
+        active_blocks=active_blocks,
+        active=_block_take(state.data, active_blocks, bs),
+        active_count=jnp.asarray(fresh_start_row, jnp.int32),
+        block_count=jnp.minimum(next_alloc + f_blocks, nb).astype(jnp.int32),
+        anchor=center)
 
 
 def maybe_refresh(state: MapState, center: jnp.ndarray, cfg: MapConfig,
                   pending_creates: int, margin: float = 25.0,
                   refresh_distance: Optional[float] = None) -> MapState:
-    """Refresh the view iff the vehicle left the refresh radius or the view
-    tail cannot hold this scan's potential creations (lax.cond in-step)."""
-    act = state.active_idx.shape[0]
+    """Refresh the view iff the vehicle left the refresh radius or the fresh
+    region cannot hold this scan's potential creations (lax.cond in-step)."""
+    bs, nb, k, f_blocks = _geometry(cfg)
     rd = refresh_distance if refresh_distance is not None else margin * 0.5
     moved = jnp.linalg.norm(center - state.anchor) > rd
-    # tail-full only helps if a refresh can actually free slots; when the
-    # working set saturates the view (active_count == ACT even after a
-    # rebuild) a refresh every scan would thrash at no benefit
-    full = (state.active_count + pending_creates > act) \
-        & (state.active_count < act)
+    # tail-full only helps while the arena can still allocate fresh blocks;
+    # once exhausted a refresh every scan would thrash at no benefit (the
+    # host compacts the store near capacity)
+    full = (state.active_count + pending_creates > k * bs) \
+        & (state.block_count < nb)
     need = moved | full | jnp.any(~jnp.isfinite(state.anchor))
     return jax.lax.cond(
         need, lambda s: refresh_active(s, center, cfg, margin), lambda s: s,
@@ -415,7 +492,8 @@ def render_maps(state: MapState, pose: jnp.ndarray, cfg: DataConfig,
     """Out-of-band render (loop closure, tests): syncs the view, then
     renders from a fresh active subset around the pose."""
     synced = refresh_active(state, pose[:3, 3].astype(jnp.float32), map_cfg,
-                            priority="old" if render_old else "new")
+                            priority="old" if render_old else "new",
+                            ts_threshold=ts_threshold if render_old else None)
     return render_view(synced.active, pose, cfg, map_cfg, conf_threshold,
                        ts_threshold, "old" if render_old else "new")
 
@@ -429,7 +507,8 @@ def render_composed(state: MapState, pose_old: jnp.ndarray,
     inv_old = lie.se3_inverse(pose_old.astype(jnp.float32))
     inv_new = lie.se3_inverse(pose_new.astype(jnp.float32))
     synced_o = refresh_active(state, pose_old[:3, 3].astype(jnp.float32),
-                              map_cfg, priority="old")
+                              map_cfg, priority="old",
+                              ts_threshold=ts_threshold)
     synced_n = refresh_active(state, pose_new[:3, 3].astype(jnp.float32),
                               map_cfg, priority="new")
     data_o = synced_o.active
@@ -470,9 +549,9 @@ def _index_winner(data: PackedSurfels, pose_inv: jnp.ndarray,
 
 
 def render_index_map(state: MapState, pose_inv: jnp.ndarray,
-                     cfg: DataConfig) -> jnp.ndarray:
+                     cfg: DataConfig, map_cfg: MapConfig) -> jnp.ndarray:
     """Compatibility entry: full-store index map [H, W] (global rows)."""
-    synced = sync(state)
+    synced = sync(state, map_cfg)
     return _index_winner(synced.data, pose_inv, cfg).reshape(
         cfg.height, cfg.width)
 
@@ -674,13 +753,15 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     pose_inv = lie.se3_inverse(pose)
     ts = jnp.asarray(timestamp, jnp.int32)
     hw = data_cfg.height * data_cfg.width
-    cap = state.data.capacity
-    act = state.active_idx.shape[0]
+    bs, nb, k, f_blocks = _geometry(map_cfg)
+    view_rows = k * bs
+    assert f_blocks * bs >= hw, (
+        f"fresh region ({f_blocks}x{bs} rows) must hold one full image of "
+        f"creations ({hw}); increase MapConfig.active_capacity")
 
-    # a quarter image of creations is a generous steady-state estimate; the
-    # movement-based refresh (every ~8 scans) bounds any shortfall
-    state = maybe_refresh(state, pose[:3, 3], map_cfg,
-                          pending_creates=hw // 4)
+    # pending_creates=hw guarantees a refresh happens BEFORE the fresh
+    # region could overflow, so creations are never dropped
+    state = maybe_refresh(state, pose[:3, 3], map_cfg, pending_creates=hw)
 
     frame_img = _pack_frame_image(frame)
     upd, compatible, pid = _update_view(
@@ -694,52 +775,48 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     new_data, create = _make_new_surfels(frame, pose, ts, integrated,
                                          map_cfg, semantic)
 
-    # Append to the global store AND the view tail. Creation slots are
-    # contiguous by construction, so instead of a (slow) row scatter we
-    # stream-compact the created rows to the front of the per-scan block
-    # and write it with ONE dynamic_update_slice at each append cursor.
+    # Creations go to the view's fresh region only (they reach the global
+    # store with the next block writeback). The created rows are
+    # stream-compacted to the front of a per-scan block, which is appended
+    # with chunked dynamic_update_slices: chunk c is written iff it holds
+    # created rows; pad rows inside the last written chunk are overwritten
+    # by the next scan's append (the cursor only advances by n_created).
     order = jnp.cumsum(create.astype(jnp.int32)) - 1
     cslots = jnp.where(create, order, hw)
     block = make_packed(hw).put(cslots, new_data)
     n_new = jnp.sum(create)
 
-    g_fit = state.count + hw <= cap
-    global_data = jax.lax.cond(
-        g_fit,
-        lambda sd: PackedSurfels(
-            f=jax.lax.dynamic_update_slice(sd.f, block.f, (state.count, 0)),
-            i=jax.lax.dynamic_update_slice(sd.i, block.i, (state.count, 0))),
-        lambda sd: sd, state.data)
-    n_created = jnp.where(g_fit, n_new, 0)
-    new_count = jnp.minimum(state.count + n_created, cap)
+    n_chunks = 4 if hw % 4 == 0 else 1
+    ch = hw // n_chunks
+    chunks_needed = (n_new + ch - 1) // ch
+    a_fit = state.active_count + chunks_needed * ch <= view_rows
+    n_created = jnp.where(a_fit, n_new, 0)
 
-    a_fit = g_fit & (state.active_count + hw <= act)
-    idx_block = jnp.where(
-        jnp.arange(hw, dtype=jnp.int32) < n_new,
-        state.count + jnp.arange(hw, dtype=jnp.int32), cap)
+    av, ai = upd.f, upd.i
+    for c in range(n_chunks):
+        lo = c * ch
 
-    def view_append(args):
-        av, ai = args
-        return (PackedSurfels(
-            f=jax.lax.dynamic_update_slice(av.f, block.f,
-                                           (state.active_count, 0)),
-            i=jax.lax.dynamic_update_slice(av.i, block.i,
-                                           (state.active_count, 0))),
-            jax.lax.dynamic_update_slice(ai, idx_block,
-                                         (state.active_count,)))
+        def _write(args, lo=lo):
+            vf, vi = args
+            return (
+                jax.lax.dynamic_update_slice(
+                    vf, jax.lax.slice_in_dim(block.f, lo, lo + ch),
+                    (state.active_count + lo, 0)),
+                jax.lax.dynamic_update_slice(
+                    vi, jax.lax.slice_in_dim(block.i, lo, lo + ch),
+                    (state.active_count + lo, 0)))
 
-    active2, active_idx2 = jax.lax.cond(
-        a_fit, view_append, lambda args: args, (upd, state.active_idx))
-    new_active_count = jnp.where(a_fit, state.active_count + n_new,
-                                 state.active_count).astype(jnp.int32)
+        av, ai = jax.lax.cond(a_fit & (n_new > lo), _write,
+                              lambda args: args, (av, ai))
+    active2 = PackedSurfels(f=av, i=ai)
+    new_active_count = (state.active_count + n_created).astype(jnp.int32)
 
     new_poses = state.poses.at[
         jnp.clip(ts, 0, state.poses.shape[0] - 1)].set(pose)
 
-    state2 = MapState(data=global_data, count=new_count.astype(jnp.int32),
-                      poses=new_poses, active_idx=active_idx2,
-                      active=active2, active_count=new_active_count,
-                      anchor=state.anchor)
+    state2 = state._replace(
+        count=(state.count + n_created).astype(jnp.int32),
+        poses=new_poses, active=active2, active_count=new_active_count)
 
     proj_a = _project_surfels(active2, pose_inv, data_cfg)
     sel_a = _selection(active2, proj_a, map_cfg, confidence_threshold,
@@ -759,46 +836,57 @@ def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
         state, frame, pose, timestamp, data_cfg, map_cfg,
         confidence_threshold, jnp.asarray(timestamp, jnp.int32) + 1,
         semantic)
-    return sync(state2), n_created
+    return sync(state2, map_cfg), n_created
 
 
-def compact(state: MapState) -> MapState:
-    """copy_surfels-style stream compaction of the global store; the active
-    view is invalidated (anchor -> inf forces a refresh)."""
-    state = sync(state)
-    d = state.data
-    cap = d.capacity
-    act = state.active_idx.shape[0]
-    order = jnp.cumsum(d.valid.astype(jnp.int32)) - 1
-    slots = jnp.where(d.valid, order, cap)
-    moved = make_packed(cap).put(slots, d)
+def _reset_view(state: MapState, cfg: MapConfig) -> MapState:
+    """Drop the (already synced) view: no map blocks, fresh region starting
+    at the allocation high-water; anchor -> inf forces a refresh before the
+    next append."""
+    bs, nb, k, f_blocks = _geometry(cfg)
     return state._replace(
-        data=moved, count=jnp.sum(d.valid).astype(jnp.int32),
-        active_idx=jnp.full((act,), cap, jnp.int32),
-        active=make_packed(act),
-        active_count=jnp.zeros((), jnp.int32),
+        active_blocks=_fresh_view(nb, k, f_blocks, state.block_count),
+        active=make_packed(k * bs),
+        active_count=jnp.asarray((k - f_blocks) * bs, jnp.int32),
         anchor=jnp.full((3,), jnp.inf, jnp.float32))
 
 
-def update_poses(state: MapState, new_poses: jnp.ndarray) -> MapState:
+def compact(state: MapState, cfg: MapConfig) -> MapState:
+    """copy_surfels-style stream compaction of the global store (drops dead
+    rows and block-padding waste); the active view is invalidated.
+
+    Uses a stable single-key sort + row gather instead of a row scatter
+    (a full-store row scatter measures ~4x slower on TPU)."""
+    state = sync(state, cfg)
+    bs, nb, k, f_blocks = _geometry(cfg)
+    d = state.data
+    cap = d.capacity
+    dead = (~d.valid).astype(jnp.int32)
+    _, perm = jax.lax.sort(
+        (dead, jnp.arange(cap, dtype=jnp.int32)), num_keys=1)  # stable
+    moved = PackedSurfels(f=d.f[perm], i=d.i[perm])
+    n_valid = jnp.sum(d.valid).astype(jnp.int32)
+    state = state._replace(
+        data=moved, count=n_valid,
+        block_count=((n_valid + bs - 1) // bs).astype(jnp.int32))
+    return _reset_view(state, cfg)
+
+
+def update_poses(state: MapState, new_poses: jnp.ndarray,
+                 cfg: MapConfig) -> MapState:
     """Rewrite the pose table after loop closure and refresh the cached
     world-frame geometry (SurfelMap::updatePoses semantics: surfels are
     never touched, only poses). Invalidates the active view."""
-    state = sync(state)
+    state = sync(state, cfg)
     d = state.data
-    cap = d.capacity
-    act = state.active_idx.shape[0]
     cp = new_poses[jnp.clip(d.creation_ts, 0, new_poses.shape[0] - 1)]
     wpos = jnp.einsum("nij,nj->ni", cp[:, :3, :3], d.position) + cp[:, :3, 3]
     wnormal = jnp.einsum("nij,nj->ni", cp[:, :3, :3], d.normal)
     f = d.f.at[:, _WPOS].set(wpos).at[:, _WNRM].set(wnormal)
-    return state._replace(
+    state = state._replace(
         data=PackedSurfels(f=f, i=d.i),
-        poses=new_poses.astype(jnp.float32),
-        active_idx=jnp.full((act,), cap, jnp.int32),
-        active=make_packed(act),
-        active_count=jnp.zeros((), jnp.int32),
-        anchor=jnp.full((3,), jnp.inf, jnp.float32))
+        poses=new_poses.astype(jnp.float32))
+    return _reset_view(state, cfg)
 
 
 # legacy aliases used by tests / the sharded step

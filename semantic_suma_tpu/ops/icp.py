@@ -94,6 +94,64 @@ def _bilinear_gather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     return top * (1 - ay) + bot * ay
 
 
+def _pack_model_image(model: Maps) -> jnp.ndarray:
+    """Loop-invariant flat model image [H*W, 8]: vertex 0:3, normal 3:6,
+    valid 6, label 7. Built ONCE per alignment so each GN iteration pays a
+    single 4-tap flat row gather (TPU row gathers from a flat [HW, 8] array
+    measure ~2x faster than 2D [H, W, C] advanced indexing)."""
+    h, w = model.vertex.shape[:2]
+    return jnp.concatenate([
+        model.vertex.reshape(-1, 3),
+        model.normal.reshape(-1, 3),
+        model.valid.reshape(-1, 1).astype(jnp.float32),
+        model.sem_label.reshape(-1, 1).astype(jnp.float32),
+    ], axis=-1)
+
+
+def _sample_model(model_img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                  h: int, w: int, bilinear: bool):
+    """Sample (v_m, n_m, m_valid, m_label) at continuous coords from the
+    packed flat image. Bilinear over geometry (4 flat taps, horizontal wrap,
+    vertical clamp), nearest-tap for the label — all from the same gathers."""
+    if not bilinear:
+        xi = jnp.clip(u.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+        g = model_img[yi * w + xi]
+        n_m = g[..., 3:6]
+        n_m = n_m / jnp.maximum(
+            jnp.linalg.norm(n_m, axis=-1, keepdims=True), 1e-12)
+        return g[..., 0:3], n_m, g[..., 6] > 0.5, g[..., 7].astype(jnp.int32)
+    xf = u - 0.5
+    yf = v - 0.5
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    ax = (xf - x0)[..., None]
+    ay = (yf - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    g00 = model_img[y0i * w + x0i]
+    g10 = model_img[y0i * w + x1i]
+    g01 = model_img[y1i * w + x0i]
+    g11 = model_img[y1i * w + x1i]
+    top = g00 * (1 - ax) + g10 * ax
+    bot = g01 * (1 - ax) + g11 * ax
+    samp = top * (1 - ay) + bot * ay
+    v_m = samp[..., 0:3]
+    n_m_raw = samp[..., 3:6]
+    m_valid = samp[..., 6] > 0.999  # all 4 taps valid
+    n_m = n_m_raw / jnp.maximum(
+        jnp.linalg.norm(n_m_raw, axis=-1, keepdims=True), 1e-12)
+    # nearest-tap label (bilinearly blending class ids is meaningless)
+    right = ax[..., 0] > 0.5
+    down = ay[..., 0] > 0.5
+    lab_top = jnp.where(right, g10[..., 7], g00[..., 7])
+    lab_bot = jnp.where(right, g11[..., 7], g01[..., 7])
+    m_label = jnp.where(down, lab_bot, lab_top).astype(jnp.int32)
+    return v_m, n_m, m_valid, m_label
+
+
 def _project_to_model(pts: jnp.ndarray, model_cfg: DataConfig):
     """Continuous model-image coords (Frame2Model_jacobians.geom:53-65)."""
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
@@ -109,11 +167,15 @@ def build_rows(pose: jnp.ndarray, data: Maps, model: Maps,
                icp: IcpConfig, model_cfg: DataConfig,
                iteration: jnp.ndarray,
                semantic: bool = True,
-               bilinear: bool = True):
+               bilinear: bool = True,
+               model_img: jnp.ndarray | None = None):
     """Compute weighted Jacobian rows A [P, 8] and per-pixel stats.
 
     Row layout: cols 0:3 = sqrt(w)*n_m, 3:6 = sqrt(w)*(v_d x n_m),
     col 6 = sqrt(w)*r. Then AᵀA[0:6,0:6] = JᵀWJ and AᵀA[0:6,6] = JᵀWf.
+
+    ``model_img`` (from :func:`_pack_model_image`) is loop-invariant across
+    GN iterations; pass it to avoid rebuilding it per linearization.
     """
     h, w = data.vertex.shape[:2]
     p = h * w
@@ -130,28 +192,10 @@ def build_rows(pose: jnp.ndarray, data: Maps, model: Maps,
     u, v = _project_to_model(v_d, model_cfg)
     inside = (u >= 0) & (u < model_cfg.width) & (v >= 0) & (v < model_cfg.height)
 
-    mvalid_img = model.valid[..., None].astype(jnp.float32)
-    if bilinear:
-        packed = jnp.concatenate(
-            [model.vertex, model.normal, mvalid_img], axis=-1)
-        samp = _bilinear_gather(packed, u, v)
-        v_m = samp[..., 0:3]
-        n_m_raw = samp[..., 3:6]
-        m_valid = samp[..., 6] > 0.999  # all 4 taps valid
-        n_m = n_m_raw / jnp.maximum(
-            jnp.linalg.norm(n_m_raw, axis=-1, keepdims=True), 1e-12)
-    else:
-        xi = jnp.clip(u.astype(jnp.int32), 0, model_cfg.width - 1)
-        yi = jnp.clip(v.astype(jnp.int32), 0, model_cfg.height - 1)
-        v_m = model.vertex[yi, xi]
-        n_m = model.normal[yi, xi]
-        m_valid = model.valid[yi, xi]
-
-    # nearest-pixel semantic label (the reference bilinearly interpolates
-    # label ids, which is meaningless; we sample nearest)
-    xi = jnp.clip(u.astype(jnp.int32), 0, model_cfg.width - 1)
-    yi = jnp.clip(v.astype(jnp.int32), 0, model_cfg.height - 1)
-    m_label = model.sem_label[yi, xi]
+    if model_img is None:
+        model_img = _pack_model_image(model)
+    v_m, n_m, m_valid, m_label = _sample_model(
+        model_img, u, v, model_cfg.height, model_cfg.width, bilinear)
 
     assoc = d_valid & inside & m_valid  # both measurement and model valid
 
@@ -237,6 +281,7 @@ def gauss_newton(data: Maps, model: Maps, t0: jnp.ndarray,
     checked after applying the increment, like the reference.
     """
     max_iter = icp.max_iterations if max_iterations is None else max_iterations
+    model_img = _pack_model_image(model)  # hoisted out of the GN loop
 
     def cond(carry):
         pose, last_err, k, done, _ = carry
@@ -257,7 +302,7 @@ def gauss_newton(data: Maps, model: Maps, t0: jnp.ndarray,
 
     def _products(pose, k):
         rows, stats = build_rows(pose, data, model, icp, model_cfg, k,
-                                 semantic, bilinear)
+                                 semantic, bilinear, model_img=model_img)
         ata = jnp.dot(rows.T, rows, preferred_element_type=jnp.float32)
         return ata[:6, :6], ata[:6, 6], stats
 

@@ -36,7 +36,7 @@ def save_checkpoint(slam, path: str, compact_map: bool = True) -> None:
 
     state = slam.state
     if compact_map:
-        state = state._replace(map=sm.compact(state.map))
+        state = state._replace(map=sm.compact(state.map, slam.cfg.map))
 
     arrays, _ = _flatten_with_paths(state)
     host = {

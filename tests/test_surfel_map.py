@@ -156,16 +156,10 @@ def test_compact():
     v[::2] = False
     i_arr = np.asarray(state.data.i).copy()
     i_arr[:, 3] = v.astype(np.int32)
-    cap = state.data.capacity
-    act = state.active_idx.shape[0]
-    state = state._replace(
-        data=state.data._replace(i=jnp.asarray(i_arr)),
-        active_idx=jnp.full((act,), cap, jnp.int32),
-        active=sm.make_packed(act),
-        active_count=jnp.zeros((), jnp.int32),
-        anchor=jnp.full((3,), jnp.inf, jnp.float32))
+    state = sm._reset_view(
+        state._replace(data=state.data._replace(i=jnp.asarray(i_arr))), MCFG)
     n_valid = int(v.sum())
-    compacted = sm.compact(state)
+    compacted = sm.compact(state, MCFG)
     assert int(compacted.count) == n_valid
     cv = np.asarray(compacted.data.valid)
     assert cv[:n_valid].all() and not cv[n_valid:].any()
@@ -182,7 +176,7 @@ def test_update_poses_moves_world_cache():
     state, _ = ingest(state, scan, jnp.eye(4), 0)
     shift = lie.se3_exp(jnp.asarray([1.0, 2.0, 0.0, 0, 0, 0.1]))
     new_poses = state.poses.at[0].set(shift)
-    moved = sm.update_poses(state, new_poses)
+    moved = sm.update_poses(state, new_poses, MCFG)
     valid = np.asarray(state.data.valid)
     want = lie.transform_points(shift, state.data.position)
     np.testing.assert_allclose(np.asarray(moved.data.wpos)[valid],
@@ -194,7 +188,7 @@ def test_index_map_identifies_nearest():
     scan = render_scan(world, jnp.eye(4), CFG)
     state = sm.empty_map(MCFG)
     state, _ = ingest(state, scan, jnp.eye(4), 0)
-    idx = sm.render_index_map(state, jnp.eye(4), CFG)
+    idx = sm.render_index_map(state, jnp.eye(4), CFG, MCFG)
     idx = np.asarray(idx)
     covered = idx >= 0
     assert covered.sum() > 500
