@@ -51,6 +51,10 @@ class IcpConfig:
     max_angle: float = 30.0           # normal-compatibility gate (deg)
     weighting: str = "huber"          # none | huber | turkey
     factor: float = 0.5               # robust kernel width
+    # model-map sampling: "nearest" matches the reference (its frame textures
+    # are GL_NEAREST, Frame.h:37-44) and halves the ICP gather cost;
+    # "bilinear" smooths the objective at 4x the taps
+    sampling: str = "nearest"
     initialize_identity: bool = False  # else constant-velocity init
     cutoff_threshold: float = 10.0
     # track-loss fallback (frame-to-frame recovery), reference default.xml:42-44

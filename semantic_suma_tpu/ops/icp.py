@@ -167,7 +167,7 @@ def build_rows(pose: jnp.ndarray, data: Maps, model: Maps,
                icp: IcpConfig, model_cfg: DataConfig,
                iteration: jnp.ndarray,
                semantic: bool = True,
-               bilinear: bool = True,
+               bilinear: bool | None = None,
                model_img: jnp.ndarray | None = None):
     """Compute weighted Jacobian rows A [P, 8] and per-pixel stats.
 
@@ -177,6 +177,8 @@ def build_rows(pose: jnp.ndarray, data: Maps, model: Maps,
     ``model_img`` (from :func:`_pack_model_image`) is loop-invariant across
     GN iterations; pass it to avoid rebuilding it per linearization.
     """
+    if bilinear is None:
+        bilinear = icp.sampling == "bilinear"
     h, w = data.vertex.shape[:2]
     p = h * w
     v_data = data.vertex.reshape(p, 3)
@@ -251,7 +253,7 @@ def build_rows(pose: jnp.ndarray, data: Maps, model: Maps,
 def jacobian_products(pose: jnp.ndarray, data: Maps, model: Maps,
                       icp: IcpConfig, model_cfg: DataConfig,
                       iteration=0, semantic: bool = True,
-                      bilinear: bool = True):
+                      bilinear: bool | None = None):
     """One linearization: (JᵀWJ [6,6], JᵀWf [6], stats) via a single MXU matmul."""
     rows, stats = build_rows(pose, data, model, icp, model_cfg,
                              jnp.asarray(iteration), semantic, bilinear)
@@ -272,7 +274,7 @@ def _solve_spd(jtj: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
                                    "max_iterations"))
 def gauss_newton(data: Maps, model: Maps, t0: jnp.ndarray,
                  icp: IcpConfig, model_cfg: DataConfig,
-                 semantic: bool = True, bilinear: bool = True,
+                 semantic: bool = True, bilinear: bool | None = None,
                  max_iterations: int | None = None) -> IcpResult:
     """Full Gauss-Newton alignment inside one jitted while_loop.
 
@@ -323,7 +325,7 @@ def gauss_newton(data: Maps, model: Maps, t0: jnp.ndarray,
 @partial(jax.jit, static_argnames=("icp", "model_cfg", "semantic", "bilinear"))
 def evaluate(pose: jnp.ndarray, data: Maps, model: Maps,
              icp: IcpConfig, model_cfg: DataConfig,
-             semantic: bool = True, bilinear: bool = True) -> IcpStats:
+             semantic: bool = True, bilinear: bool | None = None) -> IcpStats:
     """Residual statistics at a fixed pose (used for odometry quality checks
     and loop-closure verification, SurfelMapping.cpp:406-419)."""
     _, _, stats = jacobian_products(pose, data, model, icp, model_cfg,
