@@ -49,7 +49,7 @@ from ..config import DataConfig, MapConfig
 from ..models.labels import is_movable
 from ..ops.icp import Maps
 from ..ops.projection import INV_PI, pixel_rays
-from ..ops.zbuffer import zbuffer_argmin
+from ..ops.zbuffer import zbuffer_argmin, zbuffer_argmin_flagged
 from ..utils import lie
 
 # float column layout
@@ -375,6 +375,7 @@ class _Projected(NamedTuple):
     py: jnp.ndarray
     visible: jnp.ndarray
     inside: jnp.ndarray
+    cosv: jnp.ndarray   # cosine of the view angle (normal vs ray to sensor)
 
 
 def _project_surfels(data: PackedSurfels, pose_inv: jnp.ndarray,
@@ -384,10 +385,10 @@ def _project_surfels(data: PackedSurfels, pose_inv: jnp.ndarray,
     p_c = data.wpos @ r.T + t
     n_c = data.wnormal @ r.T
     depth = jnp.linalg.norm(p_c, axis=-1)
-    visible = jnp.sum(n_c * (-p_c), axis=-1) / jnp.maximum(depth, 1e-12) \
-        > facing_eps
+    cosv = jnp.sum(n_c * (-p_c), axis=-1) / jnp.maximum(depth, 1e-12)
+    visible = cosv > facing_eps
     px, py, depth, inside = _project_px(p_c, cfg)
-    return _Projected(p_c, n_c, depth, px, py, visible, inside)
+    return _Projected(p_c, n_c, depth, px, py, visible, inside, cosv)
 
 
 # ---------------------------------------------------------------------------
@@ -442,9 +443,14 @@ def _resolve_maps(entries_list: Sequence[RenderEntries],
 
     has = winner >= 0
     img = jnp.where(has[:, None], cand_attrs[jnp.maximum(winner, 0)], 0.0)
-    img = img.reshape(h, w, 9)
-    hasg = has.reshape(h, w)
+    return _disk_resolve(img.reshape(h, w, 9), has.reshape(h, w), cfg)
 
+
+def _disk_resolve(img: jnp.ndarray, hasg: jnp.ndarray,
+                  cfg: DataConfig) -> Maps:
+    """Dense winner image [H, W, 9] (p_c 0:3, n_c 3:6, radius 6, label 7,
+    prob 8) -> model maps via the 3x3 roll-based tangent-disk resolve."""
+    h, w = cfg.height, cfg.width
     rays = pixel_rays(cfg)  # [H, W, 3]
     best_t = jnp.full((h, w), jnp.inf, jnp.float32)
     best = jnp.zeros((h, w, 9), jnp.float32)
@@ -586,19 +592,34 @@ def _pack_frame_image(frame: FrameInputs) -> jnp.ndarray:
         m.sem_prob.reshape(-1, 1), frame.radius.reshape(-1, 1)], axis=-1)
 
 
-def _update_view(data: PackedSurfels, frame_img: jnp.ndarray,
-                 frame: FrameInputs, pose: jnp.ndarray,
-                 pose_inv: jnp.ndarray, poses: jnp.ndarray, ts,
-                 data_cfg: DataConfig, map_cfg: MapConfig,
-                 confidence_threshold, semantic: bool,
-                 index_winner_override=None):
-    """Branch-free per-surfel update (update_surfels.vert math) over a
-    packed surfel array. Returns (updated, compatible, pid)."""
-    h, w = data_cfg.height, data_cfg.width
-    act = data.capacity
+class _UpdateStage(NamedTuple):
+    """Everything the per-surfel update computes that does NOT depend on the
+    index-map winner (stage A of the split update)."""
 
-    proj = _project_surfels(data, pose_inv, data_cfg, facing_eps=0.0)
-    pid = proj.py * w + proj.px
+    proj: _Projected
+    pid: jnp.ndarray
+    observed: jnp.ndarray
+    compatible: jnp.ndarray
+    penalty: jnp.ndarray
+    log_odds_up: jnp.ndarray
+    integrate: jnp.ndarray
+    new_conf_nc: jnp.ndarray   # updated confidence assuming NOT index-winner
+    avg_pos_w: jnp.ndarray
+    avg_nrm_w: jnp.ndarray
+    avg_prob: jnp.ndarray
+    upd_radius: jnp.ndarray
+    new_weight: jnp.ndarray
+    new_ts: jnp.ndarray
+
+
+def _update_stage_a(data: PackedSurfels, frame_img: jnp.ndarray,
+                    pose: jnp.ndarray, proj: _Projected, ts,
+                    data_cfg: DataConfig, map_cfg: MapConfig,
+                    semantic: bool) -> _UpdateStage:
+    """Winner-independent part of the per-surfel update
+    (update_surfels.vert math)."""
+    act = data.capacity
+    pid = proj.py * data_cfg.width + proj.px
 
     g = frame_img[pid]                       # ONE row gather [ACT, 10]
     v_meas, n_meas = g[:, 0:3], g[:, 3:6]
@@ -607,7 +628,7 @@ def _update_view(data: PackedSurfels, frame_img: jnp.ndarray,
     d_prob = g[:, 8]
     new_radius_meas = g[:, 9]
 
-    observed = data.valid & proj.visible & proj.inside & m_valid
+    observed = data.valid & (proj.cosv > 0.0) & proj.inside & m_valid
 
     v_g = v_meas @ pose[:3, :3].T + pose[:3, 3]
     n_g = n_meas @ pose[:3, :3].T
@@ -635,23 +656,13 @@ def _update_view(data: PackedSurfels, frame_img: jnp.ndarray,
     p_up = jnp.clip(p_up, map_cfg.p_unstable, 1.0)
     log_odds_up = jnp.log(p_up / (1.0 - p_up))
 
-    pid_safe = jnp.minimum(pid, h * w - 1)
-    if index_winner_override is None:
-        winner = _index_winner(data, pose_inv, data_cfg)
-        closest = winner[pid_safe] == jnp.arange(act)
-    else:
-        local_winner, i_am_winner = index_winner_override
-        closest = i_am_winner[pid_safe] & (
-            local_winner[pid_safe] == jnp.arange(act))
-    update_conf = jnp.where(
-        compatible, log_odds_up,
-        jnp.where(observed & closest, map_cfg.log_unstable,
-                  map_cfg.log_prior))
-    update_conf = update_conf - penalty
-
-    new_conf = jnp.where(
+    # confidence update assuming this surfel is NOT the index-map winner
+    # (the winner-loses case is patched in by _update_finish)
+    update_conf_nc = jnp.where(compatible, log_odds_up, map_cfg.log_prior) \
+        - penalty
+    new_conf_nc = jnp.where(
         map_cfg.use_stability,
-        jnp.minimum(data.confidence + update_conf - map_cfg.log_prior,
+        jnp.minimum(data.confidence + update_conf_nc - map_cfg.log_prior,
                     map_cfg.stability_upper_bound),
         data.confidence)
 
@@ -688,21 +699,47 @@ def _update_view(data: PackedSurfels, frame_img: jnp.ndarray,
     upd_radius = jnp.maximum(jnp.minimum(new_radius_meas, data.radius),
                              map_cfg.min_radius)
 
+    new_ts = jnp.where(compatible, ts, data.timestamp)
+
+    return _UpdateStage(proj=proj, pid=pid, observed=observed,
+                        compatible=compatible, penalty=penalty,
+                        log_odds_up=log_odds_up, integrate=integrate,
+                        new_conf_nc=new_conf_nc, avg_pos_w=avg_pos_w,
+                        avg_nrm_w=avg_nrm_w, avg_prob=avg_prob,
+                        upd_radius=upd_radius, new_weight=new_weight,
+                        new_ts=new_ts)
+
+
+def _update_finish(data: PackedSurfels, a: _UpdateStage, closest, ts,
+                   map_cfg: MapConfig, confidence_threshold):
+    """Apply stage-A results + the index-winner confidence decrease
+    (update_surfels.vert:302-333). Returns the updated PackedSurfels."""
+    # winner-loses case: a non-compatible observed surfel that is the
+    # nearest at its pixel gets the log-odds decrease
+    decreased = a.observed & ~a.compatible & closest
+    new_conf = jnp.where(
+        map_cfg.use_stability & decreased,
+        jnp.minimum(data.confidence + map_cfg.log_unstable - a.penalty
+                    - map_cfg.log_prior, map_cfg.stability_upper_bound),
+        a.new_conf_nc)
+
     # only the world-frame cache is maintained per scan; the creation-frame
     # geometry is re-derived from the pose table at sync() time, removing a
     # per-scan [ACT, 4, 4] pose gather from the hot path
     f = data.f
-    intg = integrate[:, None]
-    f = f.at[:, _WPOS].set(jnp.where(intg, avg_pos_w, wpos))
-    f = f.at[:, _WNRM].set(jnp.where(intg, avg_nrm_w, wnrm))
-    f = f.at[:, _RADIUS].set(jnp.where(compatible, upd_radius, data.radius))
+    intg = a.integrate[:, None]
+    f = f.at[:, _WPOS].set(jnp.where(intg, a.avg_pos_w, data.wpos))
+    f = f.at[:, _WNRM].set(jnp.where(intg, a.avg_nrm_w, data.wnormal))
+    f = f.at[:, _RADIUS].set(jnp.where(a.compatible, a.upd_radius,
+                                       data.radius))
     f = f.at[:, _CONF].set(new_conf)
-    f = f.at[:, _SEMPROB].set(jnp.where(integrate, avg_prob, data.sem_prob))
+    f = f.at[:, _SEMPROB].set(jnp.where(a.integrate, a.avg_prob,
+                                        data.sem_prob))
     if map_cfg.weighting_scheme:
-        f = f.at[:, _WEIGHT].set(new_weight)
+        f = f.at[:, _WEIGHT].set(a.new_weight)
 
     i = data.i
-    i = i.at[:, _TS].set(jnp.where(compatible, ts, data.timestamp))
+    i = i.at[:, _TS].set(a.new_ts)
 
     # cull (update_surfels.vert:156-157,332): old-state unstable-age check,
     # compatible revalidates, updated odds below log_unstable kill
@@ -710,11 +747,36 @@ def _update_view(data: PackedSurfels, frame_img: jnp.ndarray,
     if map_cfg.use_stability:
         unstable_old = (data.confidence < confidence_threshold) & (
             (ts - data.timestamp) >= map_cfg.unstable_age)
-        alive = alive & (~unstable_old | compatible)
+        alive = alive & (~unstable_old | a.compatible)
         alive = alive & (new_conf >= map_cfg.log_unstable)
     i = i.at[:, _VALID].set(alive.astype(jnp.int32))
 
-    return PackedSurfels(f=f, i=i), compatible, pid
+    return PackedSurfels(f=f, i=i)
+
+
+def _update_view(data: PackedSurfels, frame_img: jnp.ndarray,
+                 frame: FrameInputs, pose: jnp.ndarray,
+                 pose_inv: jnp.ndarray, poses: jnp.ndarray, ts,
+                 data_cfg: DataConfig, map_cfg: MapConfig,
+                 confidence_threshold, semantic: bool,
+                 index_winner_override=None):
+    """Branch-free per-surfel update (update_surfels.vert math) over a
+    packed surfel array. Returns (updated, compatible, pid)."""
+    h, w = data_cfg.height, data_cfg.width
+    act = data.capacity
+    proj = _project_surfels(data, pose_inv, data_cfg, facing_eps=0.0)
+    a = _update_stage_a(data, frame_img, pose, proj, ts, data_cfg, map_cfg,
+                        semantic)
+    pid_safe = jnp.minimum(a.pid, h * w - 1)
+    if index_winner_override is None:
+        winner = _index_winner(data, pose_inv, data_cfg)
+        closest = winner[pid_safe] == jnp.arange(act)
+    else:
+        local_winner, i_am_winner = index_winner_override
+        closest = i_am_winner[pid_safe] & (
+            local_winner[pid_safe] == jnp.arange(act))
+    upd = _update_finish(data, a, closest, ts, map_cfg, confidence_threshold)
+    return upd, a.compatible, a.pid
 
 
 def _make_new_surfels(frame: FrameInputs, pose: jnp.ndarray, ts,
@@ -763,10 +825,41 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     # region could overflow, so creations are never dropped
     state = maybe_refresh(state, pose[:3, 3], map_cfg, pending_creates=hw)
 
+    # ---- fused update + render over ONE sorted z-buffer pass ----
+    # The reference runs gen_indexmap (pre-update) and render_surfels
+    # (post-update) as two full rasterizations; here a single sort yields
+    # both the index-map winner and the render winner. Render selection is
+    # evaluated on pre-update geometry and the winner-decrease-free updated
+    # confidence (exact except for surfels losing the winner contest this
+    # very scan, which render one scan longer); the winning surfels'
+    # ATTRIBUTES are gathered from the post-update rows, and this scan's
+    # creations are merged in exactly (they splat at their creation pixel).
+    act = state.active
+    proj = _project_surfels(act, pose_inv, data_cfg, facing_eps=0.0)
     frame_img = _pack_frame_image(frame)
-    upd, compatible, pid = _update_view(
-        state.active, frame_img, frame, pose, pose_inv, state.poses, ts,
-        data_cfg, map_cfg, confidence_threshold, semantic)
+    a = _update_stage_a(act, frame_img, pose, proj, ts, data_cfg, map_cfg,
+                        semantic)
+
+    vis01 = proj.cosv > 0.01
+    idx_sel = act.valid & vis01 & proj.inside
+    rsel = idx_sel
+    if map_cfg.use_stability:
+        unstable_old = (act.confidence < confidence_threshold) & (
+            (ts - act.timestamp) >= map_cfg.unstable_age)
+        alive_nc = (~unstable_old | a.compatible) \
+            & (a.new_conf_nc >= map_cfg.log_unstable)
+        rsel = rsel & alive_nc & (a.new_conf_nc > confidence_threshold)
+    rsel = rsel & ((act.creation_ts >= render_ts_threshold)
+                   | (a.new_ts >= render_ts_threshold))
+
+    ids = jnp.where(idx_sel, a.pid, -1)
+    winner_all, winner_render, wdepth_render = zbuffer_argmin_flagged(
+        ids, proj.depth, rsel, hw)
+
+    pid_safe = jnp.minimum(a.pid, hw - 1)
+    closest = winner_all[pid_safe] == jnp.arange(act.capacity)
+    upd = _update_finish(act, a, closest, ts, map_cfg, confidence_threshold)
+    compatible, pid = a.compatible, a.pid
 
     flag_ids = jnp.where(compatible, pid, hw)
     integrated = jnp.zeros((hw,), jnp.int32).at[flag_ids].max(
@@ -818,10 +911,40 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
         count=(state.count + n_created).astype(jnp.int32),
         poses=new_poses, active=active2, active_count=new_active_count)
 
-    proj_a = _project_surfels(active2, pose_inv, data_cfg)
-    sel_a = _selection(active2, proj_a, map_cfg, confidence_threshold,
-                       render_ts_threshold, "new")
-    model_maps = _resolve_maps([RenderEntries(active2, proj_a, sel_a)],
+    # ---- model render resolve from the shared z-buffer ----
+    has = winner_render >= 0
+    g = upd.f[jnp.maximum(winner_render, 0)]        # [HW, 16] row gather
+    gl = upd.i[jnp.maximum(winner_render, 0), _LABEL]
+    r_inv, t_inv = pose_inv[:3, :3], pose_inv[:3, 3]
+    p_c = g[:, _WPOS] @ r_inv.T + t_inv
+    n_c = g[:, _WNRM] @ r_inv.T
+    img = jnp.concatenate([
+        p_c, n_c, g[:, _RADIUS][:, None], gl[:, None].astype(jnp.float32),
+        g[:, _SEMPROB][:, None]], axis=-1)
+    img = jnp.where(has[:, None], img, 0.0)
+
+    # merge this scan's creations (splat exactly at their creation pixel)
+    maps = frame.maps
+    vflat = maps.vertex.reshape(-1, 3)
+    nflat = maps.normal.reshape(-1, 3)
+    d_new = jnp.linalg.norm(vflat, axis=-1)
+    cos_new = jnp.sum(nflat * (-vflat), axis=-1) / jnp.maximum(d_new, 1e-12)
+    conf_new = jnp.where(jnp.asarray(semantic)
+                         & is_movable(maps.sem_label.reshape(-1)),
+                         map_cfg.log_prior - 0.5, map_cfg.log_prior)
+    new_rsel = create & a_fit & (cos_new > 0.01)
+    if map_cfg.use_stability:
+        new_rsel = new_rsel & (conf_new > confidence_threshold)
+    take_new = new_rsel & (~has | (d_new < wdepth_render))
+    new_img = jnp.concatenate([
+        vflat, nflat, frame.radius.reshape(-1, 1),
+        maps.sem_label.reshape(-1, 1).astype(jnp.float32),
+        maps.sem_prob.reshape(-1, 1)], axis=-1)
+    img = jnp.where(take_new[:, None], new_img, img)
+    has = has | take_new
+
+    h, w = data_cfg.height, data_cfg.width
+    model_maps = _disk_resolve(img.reshape(h, w, 9), has.reshape(h, w),
                                data_cfg)
     return state2, model_maps, n_created
 

@@ -129,7 +129,7 @@ def make_sharded_step(cfg: SumaConfig, mesh: Mesh, axis: str = "map"):
         def products(pose_k, k):
             rows_mat, stats = icp_ops.build_rows(
                 pose_k, my_data, model_maps, cfg.icp, cfg.model, k,
-                cfg.semantic.enabled, True)
+                cfg.semantic.enabled)
             ata = jnp.dot(rows_mat.T, rows_mat,
                           preferred_element_type=jnp.float32)
             ata = jax.lax.psum(ata, axis)
