@@ -95,10 +95,30 @@ for _mov, _stat in ((252, 10), (253, 30), (254, 32), (255, 16), (256, 31),
         _RAW_TO_TRAIN[_mov] = TRAIN_CLASSES.index(_stat)
 
 
+# All movable class ids are < 64, so the membership test compiles to pure
+# VPU arithmetic (two shifts + mask select) instead of a [N]-element LUT
+# gather — TPU gathers are element-serialized and measure ~100x slower than
+# elementwise ops at the 2^18-surfel operating point.
+_MOVABLE_MASK_LO = 0  # bits 0..31
+_MOVABLE_MASK_HI = 0  # bits 32..63
+for _c in MOVABLE_CLASSES:
+    if _c < 32:
+        _MOVABLE_MASK_LO |= 1 << _c
+    elif _c < 64:
+        _MOVABLE_MASK_HI |= 1 << (_c - 32)
+    else:  # pragma: no cover - all current movable ids are < 64
+        raise AssertionError("movable class id >= 64 needs the LUT path")
+
+
 def is_movable(labels: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise movable-class test (branch-free LUT gather)."""
-    idx = jnp.clip(labels.astype(jnp.int32), 0, MAX_LABEL - 1)
-    return jnp.asarray(_MOVABLE_LUT)[idx]
+    """Elementwise movable-class test (branch-free bitmask, no gather)."""
+    li = labels.astype(jnp.uint32)
+    bit = li & jnp.uint32(31)
+    lo = (jnp.uint32(_MOVABLE_MASK_LO) >> bit) & jnp.uint32(1)
+    hi = (jnp.uint32(_MOVABLE_MASK_HI) >> bit) & jnp.uint32(1)
+    word = li >> jnp.uint32(5)
+    sel = jnp.where(word == 0, lo, jnp.where(word == 1, hi, jnp.uint32(0)))
+    return sel > 0
 
 
 def label_colors(labels: np.ndarray) -> np.ndarray:
