@@ -9,7 +9,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".cache", "jax"))
 
 from semantic_suma_tpu.config import MapConfig, SumaConfig
 from semantic_suma_tpu.core.pipeline import init_state, odometry_step
@@ -49,10 +51,20 @@ def main():
     timeit("lax.cond passthrough 134MB (false br)", cond_passthrough,
            big, small)
 
-    # (b) donated variant
+    # (b) donated variant — thread the aliased output back as the next
+    # input so each timed call consumes a live buffer (a donated input is
+    # deleted after the call on backends where donation is real)
     don = jax.jit(lambda b, s: (b, s + 1), donate_argnums=(0,))
     try:
-        timeit("jit passthrough 134MB DONATED", don, big.copy(), small)
+        b, s = don(big.copy(), small)
+        jax.block_until_ready(b)
+        t0 = time.perf_counter()
+        n = 30
+        for _ in range(n):
+            b, s = don(b, s)
+        jax.block_until_ready(b)
+        print(f"{'jit passthrough 134MB DONATED':46s} "
+              f"{(time.perf_counter()-t0)/n*1e3:8.3f} ms", flush=True)
     except Exception as e:  # noqa
         print("donation failed:", repr(e))
 

@@ -34,11 +34,15 @@ def _add_common(p):
 
 
 def build_config(args):
-    from .config import MapConfig, SumaConfig, config_from_xml
+    from dataclasses import replace
+
+    from .config import SumaConfig, config_from_xml
     cfg = SumaConfig()
     if args.config:
         cfg = config_from_xml(args.config, cfg)
-    cfg = cfg.replace(map=MapConfig(
+    # keep any XML-provided map parameters; only override capacities
+    cfg = cfg.replace(map=replace(
+        cfg.map,
         surfel_capacity=args.surfel_capacity,
         active_capacity=args.active_capacity,
         max_poses=max(8192, (args.max_scans or 8192))))
@@ -94,17 +98,29 @@ def cmd_run(args) -> int:
     gt = None
 
     if args.synthetic:
-        from .io.simulation import SimulationReader
+        from .io.simulation import SimulationReader, default_world
         n = args.synthetic
-        reader = SimulationReader(cfg.data, n_scans=n,
+        world = default_world(seed=0,
+                              movable_fraction=args.movable_fraction)
+        reader = SimulationReader(cfg.data, n_scans=n, world=world,
                                   radius=args.synthetic_radius,
                                   noise_sigma=args.noise,
                                   step=args.synthetic_step)
         gt = np.asarray(reader.poses)
         count = n
 
+        segmenter = None
+        if args.segmenter_weights:
+            from .models.segmenter import Segmenter
+            segmenter = Segmenter.load(args.segmenter_weights, cfg.data)
+
         def get_scan(i):
             s = reader.read(i)
+            if segmenter is not None:
+                # labels from the NETWORK, not ground truth — the
+                # KITTIReader.cpp:173-200 contract on synthetic data
+                labels, probs = segmenter(s.points)
+                return s.points, labels, probs, s.valid
             return s.points, s.labels, s.probs, s.valid
     else:
         from .io.kitti import KITTIReader
@@ -183,6 +199,20 @@ def cmd_train_segmenter(args) -> int:
     import jax
     import jax.numpy as jnp
 
+    if args.synthetic:
+        from .config import DataConfig
+        from .models import rangenet as rn
+        from .models.segmenter import train_synthetic
+        cfg = DataConfig()
+        model = rn.small_rangenet() if args.small else rn.RangeNet()
+        seg, miou = train_synthetic(
+            cfg, n_train=args.synthetic, n_val=max(4, args.synthetic // 8),
+            steps=args.steps, batch=args.batch, lr=args.lr, seed=args.seed,
+            model=model, log=lambda *a: print(*a, file=sys.stderr))
+        seg.save(args.out)
+        print(json.dumps({"val_miou": miou, "weights": args.out}))
+        return 0 if miou > 0.5 else 1
+
     from .io.kitti import KITTIReader
     from .models import rangenet as rn
     from .models.labels import raw_to_train
@@ -250,6 +280,8 @@ def main(argv=None) -> int:
     runp.add_argument("--synthetic-step", type=float, default=1.0,
                       help="arc length per synthetic scan (m)")
     runp.add_argument("--noise", type=float, default=0.0)
+    runp.add_argument("--movable-fraction", type=float, default=0.0,
+                      help="fraction of synthetic boxes labeled 'car'")
     runp.add_argument("--segmenter-weights")
     runp.add_argument("--no-gt-labels", action="store_true")
     runp.add_argument("--export-poses")
@@ -268,9 +300,14 @@ def main(argv=None) -> int:
     evalp.set_defaults(fn=cmd_eval)
 
     trainp = sub.add_parser("train-segmenter")
-    trainp.add_argument("--dataset", required=True)
+    trainp.add_argument("--dataset",
+                        help="KITTI sequence dir (omit with --synthetic)")
+    trainp.add_argument("--synthetic", type=int, default=None,
+                        help="train on N synthetic raycast scans instead")
     trainp.add_argument("--out", required=True)
     trainp.add_argument("--epochs", type=int, default=1)
+    trainp.add_argument("--steps", type=int, default=300,
+                        help="training steps (synthetic mode)")
     trainp.add_argument("--batch", type=int, default=4)
     trainp.add_argument("--lr", type=float, default=1e-3)
     trainp.add_argument("--seed", type=int, default=0)
@@ -286,6 +323,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     if args.cmd == "run" and not (args.dataset or args.synthetic):
         ap.error("run requires --dataset or --synthetic")
+    if args.cmd == "train-segmenter" and not (args.dataset or args.synthetic):
+        ap.error("train-segmenter requires --dataset or --synthetic")
     return args.fn(args)
 
 

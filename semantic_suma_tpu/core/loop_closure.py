@@ -62,6 +62,16 @@ class LoopCloser:
         info[:3] *= self.cfg.odometry_info_translation ** -2 \
             if self.cfg.odometry_info_translation else 1.0
         self._info = info
+        # cached old-map active view (VERDICT r1 #7): paging the inactive
+        # map in (refresh_active) is a full-arena sweep; consecutive
+        # verification scans reuse the same view until the query moves,
+        # the map is rebased/compacted, or the old/new split advances
+        self._old_view = None             # PackedSurfels
+        self._old_view_center: Optional[np.ndarray] = None
+        self._old_view_version: int = -1
+        self._old_view_thr: int = -1
+        # last old render (pose, Maps) — reused when phases share a pose
+        self._old_render: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     def _ratios(self, stats: icp_ops.IcpStats):
@@ -74,19 +84,57 @@ class LoopCloser:
         residual = float(stats.error) / max(val, 1.0)
         return valid_ratio, outlier_ratio, residual
 
-    def _render_old(self, slam, view_pose):
+    def _old_active(self, slam, center: np.ndarray):
+        """Old-map (inactive) active view around ``center``, cached across
+        scans; rebuilt only when the query leaves the cached neighborhood,
+        the map was rebased/compacted (``slam.map_version``), or the
+        old/new timestamp split has advanced materially."""
         ts = slam.timestamp
-        return sm.render_maps(
-            slam.state.map, jnp.asarray(view_pose, jnp.float32),
-            self.cfg.model, self.cfg.map, slam.confidence_threshold(),
-            ts - self.cfg.loop.delta_timestamp, render_old=True)
+        thr = ts - self.cfg.loop.delta_timestamp
+        version = getattr(slam, "map_version", 0)
+        stale = (self._old_view is None
+                 or self._old_view_version != version
+                 or self._old_view_thr + 25 < thr
+                 or np.linalg.norm(center - self._old_view_center) > 12.5)
+        if stale:
+            synced = sm.refresh_active(
+                slam.state.map, jnp.asarray(center, jnp.float32),
+                self.cfg.map, priority="old", ts_threshold=thr)
+            self._old_view = synced.active
+            self._old_view_center = np.asarray(center, np.float32).copy()
+            self._old_view_version = version
+            self._old_view_thr = thr
+            self._old_render = None
+        return self._old_view
+
+    def _invalidate_cache(self):
+        self._old_view = None
+        self._old_render = None
+
+    def _render_old(self, slam, view_pose):
+        """Inactive-map render at ``view_pose`` from the cached old view."""
+        pose = np.asarray(view_pose, np.float32)
+        if self._old_render is not None and \
+                np.array_equal(self._old_render[0], pose):
+            return self._old_render[1]
+        ts = slam.timestamp
+        act = self._old_active(slam, pose[:3, 3])
+        maps = sm.render_view(
+            act, jnp.asarray(pose), self.cfg.model, self.cfg.map,
+            slam.confidence_threshold(), ts - self.cfg.loop.delta_timestamp,
+            "old")
+        self._old_render = (pose.copy(), maps)
+        return maps
 
     def _composed_residual(self, slam, pose_old, pose_new):
-        comp = sm.render_composed(
-            slam.state.map, jnp.asarray(pose_old, jnp.float32),
-            jnp.asarray(pose_new, jnp.float32), self.cfg.model, self.cfg.map,
-            slam.confidence_threshold(),
-            slam.timestamp - self.cfg.loop.delta_timestamp)
+        """Residual of the current scan against the composed old+new model:
+        old map rendered at ``pose_old``, new map = the hot path's own model
+        render at ``pose_new`` (the step's model_maps), merged in image
+        space exactly like render_compose.frag:26-48. ``pose_new`` is the
+        current pose by construction (SurfelMapping.cpp:597-607)."""
+        old_maps = self._render_old(slam, pose_old)
+        comp = sm.compose_views(old_maps, slam.state.model_maps,
+                                self.cfg.loop.max_loop_closure_distance)
         stats = icp_ops.evaluate(jnp.eye(4, dtype=jnp.float32),
                                  slam.state.last_maps, comp, self.cfg.icp,
                                  self.cfg.model,
@@ -95,24 +143,27 @@ class LoopCloser:
 
     def _closest_index(self, slam, query_pose) -> int:
         """Nearest old pose within search radius with sufficient trajectory
-        separation (SurfelMapping::getClosestIndex)."""
+        separation (SurfelMapping::getClosestIndex) — vectorized over the
+        whole pose history (the reference walks it in a scalar loop)."""
         ts = slam.timestamp - 1
         lim = ts - self.cfg.loop.delta_timestamp
         if lim < 0:
             return -1
-        best, best_d = -1, self.cfg.loop.search_distance
-        tdist = slam.trajectory_distances
-        for j in range(lim, -1, -1):
-            d = float(np.linalg.norm(
-                np.asarray(query_pose)[:3, 3] - self.posegraph.pose(j)[:3, 3]))
-            sep = tdist[ts] - tdist[j]
-            if d < best_d and sep > self.cfg.loop.min_trajectory_distance:
-                best, best_d = j, d
-        return best
+        q = np.asarray(query_pose)[:3, 3]
+        cand = self.posegraph.translations(lim + 1)     # [lim+1, 3]
+        tdist = np.asarray(slam.trajectory_distances[:lim + 1])
+        d = np.linalg.norm(cand - q[None, :], axis=-1)
+        sep_ok = (slam.trajectory_distances[ts] - tdist) \
+            > self.cfg.loop.min_trajectory_distance
+        d = np.where(sep_ok, d, np.inf)
+        j = int(np.argmin(d))
+        return j if d[j] < self.cfg.loop.search_distance else -1
 
     # ------------------------------------------------------------------
     def on_scan(self, slam, info) -> dict:
         """Called after each odometry step with the step's StepInfo."""
+        import time as _time
+        t_loop0 = _time.perf_counter()
         cfg = self.cfg.loop
         ts = slam.timestamp - 1  # index of the scan just processed
         stats: dict = {}
@@ -201,8 +252,22 @@ class LoopCloser:
             found = self._search_candidate(slam, info, vr_new, or_new, res_new)
             stats["loop-candidate-found"] = found
 
+        # ---- composed old/new tracking while a candidate is live ---------
+        # The reference renders the model view for the NEXT scan's ICP as
+        # the composed old+new map whenever a loop candidate is active
+        # (SurfelMapping.cpp:351 -> SurfelMap::render(pose_old, pose_new)
+        # + render_compose.frag:26-48), so odometry keeps tracking against
+        # the old map through the verification window.
+        if cfg.compose_rendering and (self.unverified or self.already_verified):
+            old_maps = self._render_old(slam, self.pose_old)
+            slam.state = slam.state._replace(
+                model_maps=sm.compose_views(
+                    old_maps, slam.state.model_maps,
+                    cfg.max_loop_closure_distance))
+
         stats["loop-count"] = self.loop_count
         stats["loop-closures"] = self.num_loop_closures
+        stats["loop-time"] = _time.perf_counter() - t_loop0
         return stats
 
     # ------------------------------------------------------------------
@@ -293,6 +358,8 @@ class LoopCloser:
         slam.state = slam.state._replace(
             map=new_map, pose=jnp.asarray(new_current, jnp.float32),
             model_maps=model_maps)
+        slam.map_version = getattr(slam, "map_version", 0) + 1
+        self._invalidate_cache()
 
         # rewrite host pose log + trajectory distances
         for i in range(min(n, len(slam.poses))):

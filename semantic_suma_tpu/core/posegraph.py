@@ -217,6 +217,13 @@ class Posegraph:
     def poses(self) -> list[np.ndarray]:
         return list(self._poses)
 
+    def translations(self, n: int | None = None) -> np.ndarray:
+        """[n, 3] pose translations (vectorized candidate search)."""
+        n = len(self._poses) if n is None else min(n, len(self._poses))
+        if n == 0:
+            return np.zeros((0, 3), np.float32)
+        return np.stack([p[:3, 3] for p in self._poses[:n]])
+
     def size(self) -> int:
         return len(self._poses)
 

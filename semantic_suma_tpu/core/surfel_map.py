@@ -804,26 +804,55 @@ def _make_new_surfels(frame: FrameInputs, pose: jnp.ndarray, ts,
     return data, create
 
 
+def creation_region_rows(hw: int, max_creates: int | None = None) -> int:
+    """Rows the view's fresh region must hold for one scan's creations.
+
+    The creation append writes whole chunks, so the refresh guarantee and
+    the capacity assert must cover the chunk-rounded worst case. Shared by
+    :func:`fuse_and_render` and the sharded per-device config
+    (``parallel.sharding.shard_map_config``)."""
+    n_chunks = 4 if hw % 4 == 0 else 1
+    ch = hw // n_chunks
+    mc = hw if max_creates is None else max_creates
+    return -(-mc // ch) * ch
+
+
 def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
                     timestamp, data_cfg: DataConfig, map_cfg: MapConfig,
                     confidence_threshold, render_ts_threshold,
-                    semantic: bool = True):
+                    semantic: bool = True, axis: str | None = None,
+                    create_mask: jnp.ndarray | None = None,
+                    max_creates: int | None = None):
     """Per-scan map update + post-update model render on the persistent
     active view (the reference's updateMap + end-of-update render), with a
-    conditional view refresh. Returns (new_state, model_maps, n_created)."""
+    conditional view refresh. Returns (new_state, model_maps, n_created,
+    n_dropped).
+
+    Multi-chip (SURVEY §7 configs 4-5): when called inside ``shard_map``
+    with ``axis`` set, ``state`` is THIS device's shard of the map (its own
+    block arena + active view, paged/compacted independently) and
+    ``create_mask`` assigns each pixel's creation to exactly one device
+    (round-robin). Cross-device work is three collectives: an all_gather'd
+    depth-argmin for the global index-map winner, a psum-OR of the
+    integrated flags, and an all_gather'd depth-argmin merge of the
+    per-device render candidates — the ICI analogues of the reference's
+    single-GPU depth test and blend passes.
+    """
     pose = pose.astype(jnp.float32)
     pose_inv = lie.se3_inverse(pose)
     ts = jnp.asarray(timestamp, jnp.int32)
     hw = data_cfg.height * data_cfg.width
     bs, nb, k, f_blocks = _geometry(map_cfg)
     view_rows = k * bs
-    assert f_blocks * bs >= hw, (
-        f"fresh region ({f_blocks}x{bs} rows) must hold one full image of "
-        f"creations ({hw}); increase MapConfig.active_capacity")
+    mc_eff = creation_region_rows(hw, max_creates)
+    assert f_blocks * bs >= mc_eff, (
+        f"fresh region ({f_blocks}x{bs} rows) must hold one scan's worst-"
+        f"case creations ({mc_eff}); increase MapConfig.active_capacity")
 
-    # pending_creates=hw guarantees a refresh happens BEFORE the fresh
-    # region could overflow, so creations are never dropped
-    state = maybe_refresh(state, pose[:3, 3], map_cfg, pending_creates=hw)
+    # pending_creates guarantees a refresh happens BEFORE the fresh region
+    # could overflow, so creations are never dropped while the arena can
+    # still allocate
+    state = maybe_refresh(state, pose[:3, 3], map_cfg, pending_creates=mc_eff)
 
     # ---- fused update + render over ONE sorted z-buffer pass ----
     # The reference runs gen_indexmap (pre-update) and render_surfels
@@ -858,15 +887,30 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
 
     pid_safe = jnp.minimum(a.pid, hw - 1)
     closest = winner_all[pid_safe] == jnp.arange(act.capacity)
+    if axis is not None:
+        # global index-map winner: the local winner only counts if this
+        # device also wins the cross-device depth argmin at that pixel
+        me = jax.lax.axis_index(axis)
+        wd_all = jnp.where(winner_all >= 0,
+                           proj.depth[jnp.maximum(winner_all, 0)], jnp.inf)
+        d_all = jax.lax.all_gather(wd_all, axis)            # [D, HW]
+        i_win = (jnp.argmin(d_all, axis=0) == me) & (winner_all >= 0)
+        closest = closest & i_win[pid_safe]
     upd = _update_finish(act, a, closest, ts, map_cfg, confidence_threshold)
     compatible, pid = a.compatible, a.pid
 
     flag_ids = jnp.where(compatible, pid, hw)
-    integrated = jnp.zeros((hw,), jnp.int32).at[flag_ids].max(
-        1, mode="drop").astype(bool)
+    integrated_i = jnp.zeros((hw,), jnp.int32).at[flag_ids].max(
+        1, mode="drop")
+    if axis is not None:
+        integrated_i = jax.lax.psum(integrated_i, axis)
+    integrated = integrated_i > 0
 
     new_data, create = _make_new_surfels(frame, pose, ts, integrated,
                                          map_cfg, semantic)
+    create_all = create
+    if create_mask is not None:
+        create = create & create_mask
 
     # Creations go to the view's fresh region only (they reach the global
     # store with the next block writeback). The created rows are
@@ -874,16 +918,24 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     # with chunked dynamic_update_slices: chunk c is written iff it holds
     # created rows; pad rows inside the last written chunk are overwritten
     # by the next scan's append (the cursor only advances by n_created).
+    # (Measured alternatives — sort-compaction + row gather, and a single
+    # unconditional read-modify-write slice — were 2 ms/scan SLOWER on
+    # v5e: upd.f stays live for the render gather below, so un-conditional
+    # full-block writes force whole-view copies.)
     order = jnp.cumsum(create.astype(jnp.int32)) - 1
-    cslots = jnp.where(create, order, hw)
-    block = make_packed(hw).put(cslots, new_data)
+    cslots = jnp.where(create, order, mc_eff)
+    block = make_packed(mc_eff).put(cslots, new_data)
     n_new = jnp.sum(create)
 
-    n_chunks = 4 if hw % 4 == 0 else 1
-    ch = hw // n_chunks
+    n_chunks = 4 if mc_eff % 4 == 0 else 1
+    ch = mc_eff // n_chunks
     chunks_needed = (n_new + ch - 1) // ch
     a_fit = state.active_count + chunks_needed * ch <= view_rows
     n_created = jnp.where(a_fit, n_new, 0)
+    # maybe_refresh guarantees room while the arena can still allocate, so a
+    # non-zero drop count means the arena itself is exhausted — surfaced to
+    # the host, which compacts / spills instead of silently losing surfels
+    n_dropped = n_new - n_created
 
     av, ai = upd.f, upd.i
     for c in range(n_chunks):
@@ -923,6 +975,15 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
         g[:, _SEMPROB][:, None]], axis=-1)
     img = jnp.where(has[:, None], img, 0.0)
 
+    if axis is not None:
+        # depth-min merge of per-device render candidates over ICI
+        d_r_all = jax.lax.all_gather(wdepth_render, axis)   # [D, HW]
+        img_all = jax.lax.all_gather(img, axis)             # [D, HW, 9]
+        win_dev = jnp.argmin(d_r_all, axis=0)
+        img = jnp.take_along_axis(img_all, win_dev[None, :, None], axis=0)[0]
+        wdepth_render = jnp.min(d_r_all, axis=0)
+        has = jnp.isfinite(wdepth_render)
+
     # merge this scan's creations (splat exactly at their creation pixel)
     maps = frame.maps
     vflat = maps.vertex.reshape(-1, 3)
@@ -932,7 +993,13 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     conf_new = jnp.where(jnp.asarray(semantic)
                          & is_movable(maps.sem_label.reshape(-1)),
                          map_cfg.log_prior - 0.5, map_cfg.log_prior)
-    new_rsel = create & a_fit & (cos_new > 0.01)
+    if axis is not None and create_mask is not None:
+        # a created pixel renders iff its OWNER device had room for it
+        owner_fit = jax.lax.psum(
+            jnp.where(create_mask, a_fit.astype(jnp.int32), 0), axis) > 0
+        new_rsel = create_all & owner_fit & (cos_new > 0.01)
+    else:
+        new_rsel = create & a_fit & (cos_new > 0.01)
     if map_cfg.use_stability:
         new_rsel = new_rsel & (conf_new > confidence_threshold)
     take_new = new_rsel & (~has | (d_new < wdepth_render))
@@ -946,7 +1013,7 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     h, w = data_cfg.height, data_cfg.width
     model_maps = _disk_resolve(img.reshape(h, w, 9), has.reshape(h, w),
                                data_cfg)
-    return state2, model_maps, n_created
+    return state2, model_maps, n_created, n_dropped
 
 
 def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
@@ -955,7 +1022,7 @@ def update_map(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     """Map update without using the rendered output (test/compat entry).
     Returns a SYNCED state so callers can inspect the global store directly
     (the hot path keeps updates in the active view instead)."""
-    state2, _, n_created = fuse_and_render(
+    state2, _, n_created, _ = fuse_and_render(
         state, frame, pose, timestamp, data_cfg, map_cfg,
         confidence_threshold, jnp.asarray(timestamp, jnp.int32) + 1,
         semantic)

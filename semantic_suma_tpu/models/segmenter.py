@@ -37,12 +37,20 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(model: RangeNet, rng, input_shape,
-                       learning_rate: float = 1e-3,
-                       weight_decay: float = 1e-4):
+                       learning_rate=1e-3,
+                       weight_decay: float = 1e-4,
+                       total_steps: int | None = None):
+    """``learning_rate`` may be a float or an optax schedule; passing
+    ``total_steps`` builds a linear-warmup + cosine-decay schedule."""
     variables = model.init(rng, jnp.zeros(input_shape, jnp.float32),
                            train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if total_steps is not None and not callable(learning_rate):
+        learning_rate = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate * 0.1, peak_value=learning_rate,
+            warmup_steps=max(1, total_steps // 20),
+            decay_steps=total_steps, end_value=learning_rate * 0.01)
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
     return tx, TrainState(params=params, batch_stats=batch_stats,
                           opt_state=tx.init(params),
@@ -143,3 +151,152 @@ def labels_from_projection(points, gt_labels, gt_probs, cfg: DataConfig):
     like the segmenter output — the train-free semantic source."""
     return (jnp.asarray(gt_labels, jnp.int32),
             jnp.asarray(gt_probs, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def confusion_matrix(pred, gt, valid, num_classes: int) -> np.ndarray:
+    """[C, C] confusion counts over valid pixels (rows = gt, cols = pred)."""
+    pred = np.asarray(pred).reshape(-1)
+    gt = np.asarray(gt).reshape(-1)
+    valid = np.asarray(valid).reshape(-1)
+    pred = pred[valid]
+    gt = gt[valid]
+    idx = gt * num_classes + pred
+    return np.bincount(idx, minlength=num_classes * num_classes).reshape(
+        num_classes, num_classes)
+
+
+def miou_from_confusion(cm: np.ndarray):
+    """(mIoU over classes present in GT, per-class IoU dict)."""
+    tp = np.diag(cm).astype(np.float64)
+    fp = cm.sum(axis=0) - tp
+    fn = cm.sum(axis=1) - tp
+    present = (tp + fn) > 0
+    iou = tp / np.maximum(tp + fp + fn, 1.0)
+    per_class = {int(c): float(iou[c]) for c in np.nonzero(present)[0]}
+    m = float(iou[present].mean()) if present.any() else 0.0
+    return m, per_class
+
+
+def class_weights_from_freq(labels, valid, num_classes: int) -> np.ndarray:
+    """RangeNet++-style inverse-log-frequency class weights
+    w_c = 1 / ln(1.02 + freq_c)."""
+    lab = np.asarray(labels).reshape(-1)[np.asarray(valid).reshape(-1)]
+    counts = np.bincount(lab, minlength=num_classes).astype(np.float64)
+    freq = counts / max(counts.sum(), 1.0)
+    w = 1.0 / np.log(1.02 + freq)
+    return (w / w.mean()).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# synthetic-world training (the data-free path to a REAL segmenter: the
+# reference assumes a pre-trained TensorRT engine; here the engine can be
+# trained from scratch on the raycast world and validated by mIoU)
+# ---------------------------------------------------------------------------
+
+def synthetic_dataset(cfg: DataConfig, n_scans: int, seed: int = 0,
+                      movable_fraction: float = 0.3,
+                      noise_sigma: float = 0.03):
+    """Range images + train-class labels from the synthetic raycast world.
+
+    Poses sample several ring radii and headings so the network sees varied
+    box/ground geometry. Returns (images [N,H,W,5], labels [N,H,W] int32
+    train ids, valid [N,H,W] bool) as numpy arrays.
+    """
+    from ..io.simulation import default_world
+
+    world = default_world(seed=seed, movable_fraction=movable_fraction)
+    rng = np.random.default_rng(seed)
+    radii = rng.uniform(10.0, 26.0, size=n_scans)
+    angles = rng.uniform(0, 2 * np.pi, size=n_scans)
+
+    proj = jax.jit(lambda pose, key: _render_project(world, pose, cfg, key,
+                                                     noise_sigma))
+    key = jax.random.PRNGKey(seed)
+    imgs, labs, vals = [], [], []
+    for i in range(n_scans):
+        r, a = radii[i], angles[i]
+        cy, sy = np.cos(a + np.pi / 2), np.sin(a + np.pi / 2)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+        pose[:3, 3] = [r * np.cos(a), r * np.sin(a), 0.0]
+        img, lab, val = proj(jnp.asarray(pose), jax.random.fold_in(key, i))
+        imgs.append(np.asarray(img))
+        labs.append(np.asarray(lab))
+        vals.append(np.asarray(val))
+    return np.stack(imgs), np.stack(labs), np.stack(vals)
+
+
+def _render_project(world, pose, cfg: DataConfig, key, noise_sigma):
+    from ..io.simulation import render_scan
+    from .rangenet import make_input
+
+    scan = render_scan(world, pose, cfg, noise_sigma=noise_sigma, key=key)
+    res = project_scan(scan.points, scan.labels, scan.probs,
+                       cfg=cfg, point_valid=scan.valid)
+    img = make_input(res.vertex_map, res.depth_map, res.remission,
+                     res.vertex_valid)
+    lab = raw_to_train(res.sem_label)
+    valid = res.vertex_valid & (res.sem_label > 0)
+    return img, lab, valid
+
+
+def evaluate_miou(seg: Segmenter, images, labels, valid, batch: int = 4):
+    """mIoU of a Segmenter over a stack of range images (train-class ids)."""
+    n_cls = seg.model.num_classes
+
+    @jax.jit
+    def fwd(imgs):
+        logits = seg.model.apply(seg.variables, imgs, train=False)
+        return jnp.argmax(logits, axis=-1)
+
+    cm = np.zeros((n_cls, n_cls), np.int64)
+    for lo in range(0, images.shape[0], batch):
+        pred = fwd(jnp.asarray(images[lo:lo + batch]))
+        cm += confusion_matrix(pred, labels[lo:lo + batch],
+                               valid[lo:lo + batch], n_cls)
+    return miou_from_confusion(cm)
+
+
+def train_synthetic(cfg: DataConfig, *, n_train: int = 48, n_val: int = 8,
+                    steps: int = 300, batch: int = 4, lr: float = 2e-3,
+                    seed: int = 0, model: RangeNet | None = None,
+                    movable_fraction: float = 0.3, log=None):
+    """Train a segmenter on the synthetic world; returns (Segmenter, mIoU).
+
+    This is the data-free 'make the segmenter real' path: train, hold out
+    scans, and measure mIoU — the quality contract the reference delegates
+    to an externally trained TensorRT engine.
+    """
+    log = log or (lambda *a: None)
+    model = model or small_rangenet()
+    imgs, labs, vals = synthetic_dataset(cfg, n_train + n_val, seed=seed,
+                                         movable_fraction=movable_fraction)
+    tr_i, tr_l, tr_v = imgs[:n_train], labs[:n_train], vals[:n_train]
+    va_i, va_l, va_v = imgs[n_train:], labs[n_train:], vals[n_train:]
+
+    cw = jnp.asarray(class_weights_from_freq(tr_l, tr_v, model.num_classes))
+    tx, state = create_train_state(
+        model, jax.random.PRNGKey(seed),
+        (batch, cfg.height, cfg.width, 5), learning_rate=lr,
+        total_steps=steps)
+    step_fn = jax.jit(make_train_step(model, tx, class_weights=cw))
+
+    rng = np.random.default_rng(seed)
+    for it in range(steps):
+        sel = rng.integers(0, n_train, size=batch)
+        state, m = step_fn(state, jnp.asarray(tr_i[sel]),
+                           jnp.asarray(tr_l[sel]), jnp.asarray(tr_v[sel]))
+        if it % 50 == 0 or it == steps - 1:
+            log(f"step {it}: loss={float(m['loss']):.3f} "
+                f"acc={float(m['accuracy']):.3f}")
+
+    seg = Segmenter(cfg, model=model,
+                    variables={"params": state.params,
+                               "batch_stats": state.batch_stats})
+    m, per_class = evaluate_miou(seg, va_i, va_l, va_v)
+    log(f"val mIoU = {m:.3f}  per-class={per_class}")
+    return seg, m

@@ -271,16 +271,24 @@ def _solve_spd(jtj: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("icp", "model_cfg", "semantic", "bilinear",
-                                   "max_iterations"))
+                                   "max_iterations", "axis"))
 def gauss_newton(data: Maps, model: Maps, t0: jnp.ndarray,
                  icp: IcpConfig, model_cfg: DataConfig,
                  semantic: bool = True, bilinear: bool | None = None,
-                 max_iterations: int | None = None) -> IcpResult:
+                 max_iterations: int | None = None,
+                 axis: str | None = None) -> IcpResult:
     """Full Gauss-Newton alignment inside one jitted while_loop.
 
     Stopping criteria mirror LieGaussNewton.cpp:58-66: minimal step
     (||δ||_inf < delta), vanishing gradient, or converged error change —
     checked after applying the increment, like the reference.
+
+    ``axis``: when called inside ``shard_map`` with ``data`` holding only
+    this device's slice of the range-image rows, the per-device partial
+    JᵀWJ/JᵀWf products and stats are combined with one ``psum`` per
+    iteration — the collective analogue of the reference's additive-blend
+    reduction (Frame2Model.cpp:189-197). The solve and increment are then
+    computed redundantly (replicated) on every device.
     """
     max_iter = icp.max_iterations if max_iterations is None else max_iterations
     model_img = _pack_model_image(model)  # hoisted out of the GN loop
@@ -306,6 +314,9 @@ def gauss_newton(data: Maps, model: Maps, t0: jnp.ndarray,
         rows, stats = build_rows(pose, data, model, icp, model_cfg, k,
                                  semantic, bilinear, model_img=model_img)
         ata = jnp.dot(rows.T, rows, preferred_element_type=jnp.float32)
+        if axis is not None:
+            ata = jax.lax.psum(ata, axis)
+            stats = jax.tree.map(lambda s: jax.lax.psum(s, axis), stats)
         return ata[:6, :6], ata[:6, 6], stats
 
     zero_stats = IcpStats(

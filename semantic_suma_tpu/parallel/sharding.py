@@ -62,161 +62,333 @@ def make_2d_mesh(n_data: int, n_model: int) -> Mesh:
 
 
 # ---------------------------------------------------------------------------
-# sharded SLAM step
+# sharded SLAM step (unified with the single-chip block-paged architecture)
 # ---------------------------------------------------------------------------
 
-def _merge_rendered(local_maps: Maps, local_depth: jnp.ndarray, axis: str):
-    """Depth-min merge of per-device renders (all_gather + argmin)."""
-    depth_all = jax.lax.all_gather(local_depth, axis)          # [D, H, W]
-    maps_all = jax.tree.map(lambda a: jax.lax.all_gather(a, axis), local_maps)
-    win = jnp.argmin(depth_all, axis=0)                        # [H, W]
+def shard_map_config(cfg: SumaConfig, ndev: int):
+    """Per-device MapConfig: the arena, active view and fresh region divide
+    over devices (each device runs the FULL block-paged machinery — paging,
+    eager fresh blocks, compaction — on its own shard)."""
+    from dataclasses import replace
+    hw = cfg.data.height * cfg.data.width
+    return replace(cfg.map,
+                   surfel_capacity=max(cfg.map.surfel_capacity // ndev,
+                                       4096),
+                   active_capacity=max(cfg.map.active_capacity // ndev,
+                                       4096),
+                   min_fresh_rows=sm.creation_region_rows(hw, -(-hw // ndev)))
 
-    def pick(a):
-        if a.ndim == 3:   # [D, H, W]
-            return jnp.take_along_axis(a, win[None], axis=0)[0]
-        return jnp.take_along_axis(a, win[None, ..., None], axis=0)[0]
 
-    return jax.tree.map(pick, maps_all)
+def _stack_tree(tree, ndev: int):
+    """Host: replicate a pytree with a leading device axis."""
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (ndev,) + a.shape), tree)
 
 
-def _local_render(data: sm.PackedSurfels, pose: jnp.ndarray, cfg: SumaConfig,
-                  conf_threshold, ts_threshold):
-    """One device's block render + its per-pixel depth for merging."""
-    pose_inv = lie.se3_inverse(pose)
-    proj = sm._project_surfels(data, pose_inv, cfg.model)
-    sel = sm._selection(data, proj, cfg.map, conf_threshold, ts_threshold,
-                        "new")
-    maps = sm._resolve_maps([sm.RenderEntries(data, proj, sel)], cfg.model)
-    depth = jnp.where(maps.vertex_valid,
-                      jnp.linalg.norm(maps.vertex, axis=-1), jnp.inf)
-    return maps, depth
+def _local(tree):
+    """Inside shard_map: strip the per-device leading axis ([1, ...])."""
+    return jax.tree.map(lambda a: a[0], tree)
+
+
+def _delocal(tree):
+    return jax.tree.map(lambda a: a[None], tree)
 
 
 def make_sharded_step(cfg: SumaConfig, mesh: Mesh, axis: str = "map"):
-    """Build the jitted multi-chip odometry step.
+    """Build the jitted multi-chip odometry step — the same program as
+    ``pipeline.odometry_step`` (preprocess -> psum'd frame-to-model GN ->
+    track-loss fallback -> block-paged fuse + render), with the surfel map
+    sharded over ``axis``:
 
-    State layout inside shard_map: each device holds a block of the surfel
-    store (CAP/D rows) plus replicated pose/poses. The scan tensors are
-    replicated (they are small); ICP parallelism comes from slicing image
-    rows per device and psum-ing the products.
+    * each device owns a full :class:`MapState` shard (block arena + active
+      view + eager fresh blocks) — paging and compaction never cross ICI;
+    * ICP slices range-image rows per device and psums (JᵀWJ, JᵀWf);
+    * the index-map winner, integrated flags and render candidates merge
+      with all_gather/psum inside :func:`surfel_map.fuse_and_render`.
+
+    Call signature (all host-visible leaves): ``step(map_sh, pose, last_inc,
+    last_maps, model_maps, ts, points, labels, probs, valid, conf_thr)`` ->
+    ``(map_sh, pose, increment, data_maps, model_maps, info)`` where
+    ``map_sh`` leaves carry a leading [D] axis sharded over the mesh.
     """
     ndev = mesh.devices.size
     h = cfg.data.height
     assert h % ndev == 0, "image height must divide device count"
     rows = h // ndev
+    hw = h * cfg.data.width
+    mcfg = shard_map_config(cfg, ndev)
+    semantic = cfg.semantic.enabled
+    max_creates = -(-hw // ndev)
 
-    def step(block: sm.SurfelData, count, poses, pose, last_inc, ts,
+    def step(map_sh, pose, last_inc, last_maps, model_maps, ts,
              points, labels, probs, point_valid, conf_threshold):
         me = jax.lax.axis_index(axis)
+        local = _local(map_sh)
 
         data_maps = preprocess_scan(points, labels, probs, point_valid,
                                     ts < cfg.semantic.init_scans, cfg)
 
-        # --- render model maps from all blocks (for ICP) ------------------
-        ts_active = ts - cfg.loop.delta_timestamp
-        local_maps, local_depth = _local_render(block, pose, cfg,
-                                                conf_threshold, ts_active)
-        model_maps = _merge_rendered(local_maps, local_depth, axis)
-
-        # --- distributed Gauss-Newton: rows sliced per device, psum -------
         def row_slice(maps: Maps) -> Maps:
             return jax.tree.map(
                 lambda a: jax.lax.dynamic_slice_in_dim(a, me * rows, rows, 0),
                 maps)
 
         my_data = row_slice(data_maps)
+        t0 = (jnp.eye(4, dtype=jnp.float32) if cfg.icp.initialize_identity
+              else last_inc)
+        result = icp_ops.gauss_newton(my_data, model_maps, t0, cfg.icp,
+                                      cfg.model, semantic=semantic, axis=axis)
+        increment = result.pose
 
-        def products(pose_k, k):
-            rows_mat, stats = icp_ops.build_rows(
-                pose_k, my_data, model_maps, cfg.icp, cfg.model, k,
-                cfg.semantic.enabled)
-            ata = jnp.dot(rows_mat.T, rows_mat,
-                          preferred_element_type=jnp.float32)
-            ata = jax.lax.psum(ata, axis)
-            stats = jax.tree.map(lambda s: jax.lax.psum(s, axis), stats)
-            return ata[:6, :6], ata[:6, 6], stats
+        # track-loss fallback (same logic as pipeline.odometry_step; the
+        # jump predicate is replicated so every device takes the same
+        # branch and the psum inside matches up)
+        delta = lie.se3_inverse(last_inc) @ increment
+        t_err = jnp.linalg.norm(delta[:3, 3])
+        r_err = lie.rotation_angle(delta)
+        jumped = ((ts > 1) & ((t_err > cfg.icp.fallback_translation_jump)
+                              | (r_err > cfg.icp.fallback_rotation_jump))
+                  & jnp.asarray(cfg.icp.fallback_mode))
+        if cfg.icp.fallback_mode:
+            from dataclasses import replace as _rp
+            recovery_cfg = _rp(cfg.icp,
+                               max_distance=cfg.icp.fallback_max_distance,
+                               max_angle=cfg.icp.fallback_max_angle)
+            rec_pose = jax.lax.cond(
+                jumped,
+                lambda: icp_ops.gauss_newton(
+                    my_data, last_maps, t0, recovery_cfg, cfg.data,
+                    semantic=semantic, axis=axis).pose,
+                lambda: increment)
+            increment = jnp.where(jumped, rec_pose, increment)
 
-        def gn_cond(carry):
-            _, _, k, done = carry
-            return (k < cfg.icp.max_iterations) & ~done
-
-        def gn_body(carry):
-            pose_k, last_err, k, _ = carry
-            jtj, jtf, stats = products(pose_k, k)
-            delta = icp_ops._solve_spd(jtj, -jtf)
-            err = stats.error
-            done = (jnp.max(jnp.abs(delta)) < cfg.icp.delta)
-            done |= jnp.abs(jnp.max(jtf)) < cfg.icp.stopping_threshold
-            done |= (err < last_err) & (jnp.abs(err - last_err)
-                                        < cfg.icp.stopping_threshold)
-            new_pose = lie.se3_exp(delta) @ pose_k
-            return new_pose, err, k + 1, done
-
-        init = (last_inc, jnp.asarray(jnp.inf, jnp.float32),
-                jnp.zeros((), jnp.int32), jnp.asarray(False))
-        increment, _, iters, _ = jax.lax.while_loop(gn_cond, gn_body, init)
-        increment = jnp.where(ts == 0, jnp.eye(4, dtype=jnp.float32),
+        increment = jnp.where(ts == 0, jnp.eye(4, dtype=increment.dtype),
                               increment)
         new_pose = lie.orthonormalize(pose @ increment)
 
-        # --- sharded fusion ----------------------------------------------
-        pose_inv = lie.se3_inverse(new_pose)
-        frame = sm.data_surfel_init(data_maps, cfg.data, cfg.map)
-
-        # global index winner: local winner depth per pixel, min over blocks
-        proj = sm._project_surfels(block, pose_inv, cfg.data)
-        ok = block.valid & proj.visible & proj.inside
-        hw = cfg.data.height * cfg.data.width
-        ids = jnp.where(ok, proj.py * cfg.data.width + proj.px, -1)
-        local_winner, local_wdepth = zbuffer_argmin(ids, proj.depth, hw)
-        wdepth_all = jax.lax.all_gather(local_wdepth, axis)     # [D, HW]
-        win_shard = jnp.argmin(wdepth_all, axis=0)              # [HW]
-        i_am_winner = win_shard == me
-
-        frame_img = sm._pack_frame_image(frame)
-        data2, compatible, pid = sm._update_view(
-            block, frame_img, frame, new_pose, pose_inv, poses, ts,
-            cfg.data, cfg.map, conf_threshold, cfg.semantic.enabled,
-            index_winner_override=(local_winner, i_am_winner))
-
-        # integrated flags: OR across devices (psum of 0/1)
-        flag_ids = jnp.where(compatible, pid, hw)
-        local_flags = jnp.zeros((hw,), jnp.int32).at[flag_ids].max(
-            1, mode="drop")
-        integrated = jax.lax.psum(local_flags, axis) > 0
-
-        new_data, create = sm._make_new_surfels(frame, new_pose, ts,
-                                                integrated, cfg.map,
-                                                cfg.semantic.enabled)
-        # round-robin block assignment by pixel id
-        mine = create & (jnp.arange(hw, dtype=jnp.int32) % ndev == me)
-        capb = data2.capacity
-        slots = count + jnp.cumsum(mine.astype(jnp.int32)) - 1
-        ok = mine & (slots < capb)
-        data3 = data2.put(jnp.where(ok, slots, capb), new_data)
-        n_created = jnp.sum(ok)
-        new_block_count = jnp.minimum(count + jnp.sum(mine),
-                                      capb).astype(jnp.int32)
-        new_poses = poses.at[
-            jnp.clip(ts, 0, poses.shape[0] - 1)].set(new_pose)
+        # block-paged fusion + render with cross-device merges
+        frame = sm.data_surfel_init(data_maps, cfg.data, mcfg)
+        create_mask = (jnp.arange(hw, dtype=jnp.int32) % ndev) == me
+        new_local, new_model, n_created, n_dropped = sm.fuse_and_render(
+            local, frame, new_pose, ts, cfg.data, mcfg, conf_threshold,
+            (ts + 1) - cfg.loop.delta_timestamp, semantic=semantic,
+            axis=axis, create_mask=create_mask, max_creates=max_creates)
 
         info = {
-            "iterations": iters,
+            "iterations": result.iterations,
+            "track_loss": jumped,
             "n_created": jax.lax.psum(n_created, axis),
-            "count": jax.lax.psum(new_block_count, axis),
+            "n_dropped": jax.lax.psum(n_dropped, axis),
+            "map_count": jax.lax.psum(new_local.count, axis),
+            "error": result.stats.error,
+            "inlier": result.stats.inlier,
+            "outlier": result.stats.outlier,
+            "valid": result.stats.valid,
+            "invalid": result.stats.invalid,
         }
-        return (data3, new_block_count, new_poses, new_pose,
-                increment, info)
+        return (_delocal(new_local), new_pose, increment, data_maps,
+                new_model, info)
 
+    map_spec = jax.tree.map(lambda _: P(axis), sm.empty_map(mcfg))
+    maps_spec = jax.tree.map(lambda _: P(), _maps_struct(cfg))
+    info_spec = {k: P() for k in
+                 ("iterations", "track_loss", "n_created", "n_dropped",
+                  "map_count", "error", "inlier", "outlier", "valid",
+                  "invalid")}
     sharded = shard_map(
         step, mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: P(axis), sm._zeros_data(1)),
-                  P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(jax.tree.map(lambda _: P(axis), sm._zeros_data(1)),
-                   P(), P(), P(), P(),
-                   {"iterations": P(), "n_created": P(), "count": P()}),
+        in_specs=(map_spec, P(), P(), maps_spec, maps_spec,
+                  P(), P(), P(), P(), P(), P()),
+        out_specs=(map_spec, P(), P(), maps_spec, maps_spec, info_spec),
         check_vma=False)
     return jax.jit(sharded)
+
+
+def _maps_struct(cfg: SumaConfig) -> Maps:
+    h, w = cfg.data.height, cfg.data.width
+    z = jnp.zeros((h, w))
+    return Maps(vertex=z[..., None], normal=z[..., None],
+                vertex_valid=z > 0, normal_valid=z > 0,
+                sem_label=z.astype(jnp.int32), sem_prob=z)
+
+
+def make_sharded_compact(mcfg, mesh: Mesh, axis: str = "map"):
+    """Per-device stream compaction (no collectives — each shard compacts
+    its own arena, exactly the single-chip ``surfel_map.compact``)."""
+    map_spec = jax.tree.map(lambda _: P(axis), sm.empty_map(mcfg))
+
+    def go(map_sh):
+        return _delocal(sm.compact(_local(map_sh), mcfg))
+
+    return jax.jit(shard_map(go, mesh=mesh, in_specs=(map_spec,),
+                             out_specs=map_spec, check_vma=False))
+
+
+def make_sharded_update_poses(mcfg, mesh: Mesh, axis: str = "map"):
+    """Pose-table rewrite after pose-graph optimization (SurfelMap::
+    updatePoses semantics), per shard."""
+    map_spec = jax.tree.map(lambda _: P(axis), sm.empty_map(mcfg))
+
+    def go(map_sh, new_poses):
+        return _delocal(sm.update_poses(_local(map_sh), new_poses, mcfg))
+
+    return jax.jit(shard_map(go, mesh=mesh, in_specs=(map_spec, P()),
+                             out_specs=map_spec, check_vma=False))
+
+
+def make_sharded_render(cfg: SumaConfig, mcfg, mesh: Mesh,
+                        axis: str = "map"):
+    """Out-of-band sharded render (loop closure / rebase): each device
+    refreshes its own view around the pose and renders; candidates merge
+    with a depth-min all_gather."""
+    map_spec = jax.tree.map(lambda _: P(axis), sm.empty_map(mcfg))
+    maps_spec = jax.tree.map(lambda _: P(), _maps_struct(cfg))
+
+    def go(map_sh, pose, conf_threshold, ts_threshold):
+        local = _local(map_sh)
+        synced = sm.refresh_active(local, pose[:3, 3].astype(jnp.float32),
+                                   mcfg)
+        maps = sm.render_view(synced.active, pose, cfg.model, mcfg,
+                              conf_threshold, ts_threshold, "new")
+        depth = jnp.where(maps.vertex_valid,
+                          jnp.linalg.norm(maps.vertex, axis=-1), jnp.inf)
+        d_all = jax.lax.all_gather(depth.reshape(-1), axis)     # [D, HW]
+        win = jnp.argmin(d_all, axis=0)
+
+        def pick(a):
+            flat = a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+            ga = jax.lax.all_gather(flat, axis)
+            if ga.ndim == 3:
+                out = jnp.take_along_axis(ga, win[None, :, None], axis=0)[0]
+            else:
+                out = jnp.take_along_axis(ga, win[None, :], axis=0)[0]
+            return out.reshape(a.shape)
+
+        return jax.tree.map(pick, maps)
+
+    return jax.jit(shard_map(go, mesh=mesh,
+                             in_specs=(map_spec, P(), P(), P()),
+                             out_specs=maps_spec, check_vma=False))
+
+
+class ShardedSurfelSLAM:
+    """Host driver for the multi-chip pipeline — the sharded counterpart of
+    ``pipeline.SurfelSLAM`` with the same process_scan interface, statistics,
+    near-capacity compaction and pose-graph rebase support."""
+
+    def __init__(self, cfg: SumaConfig, mesh: Mesh, axis: str = "map"):
+        from ..core.preprocessing import empty_maps
+
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = axis
+        self.ndev = mesh.devices.size
+        self.mcfg = shard_map_config(cfg, self.ndev)
+        self._step = make_sharded_step(cfg, mesh, axis)
+        self._compact = None
+        self._update_poses = None
+        self._render = None
+
+        base = sm.empty_map(self.mcfg)
+        stacked = _stack_tree(base, self.ndev)
+        map_shardings = jax.tree.map(
+            lambda _: NamedSharding(mesh, P(axis)), stacked)
+        self.map_sh = jax.device_put(stacked, map_shardings)
+        self.pose = jnp.eye(4, dtype=jnp.float32)
+        self.last_increment = jnp.eye(4, dtype=jnp.float32)
+        self.last_maps = empty_maps(cfg)
+        self.model_maps = empty_maps(cfg)
+        self.poses: list[np.ndarray] = []
+        self.statistics: list[dict] = []
+        self.trajectory_distances: list[float] = [0.0]
+        self.map_version = 0
+
+    @property
+    def timestamp(self) -> int:
+        return len(self.poses)
+
+    def confidence_threshold(self) -> float:
+        c = self.cfg.map
+        t = self.timestamp
+        if t < c.time_init:
+            a = t / c.time_init
+            return (1.0 - a) * c.log_unstable + a * c.confidence_threshold
+        return c.confidence_threshold
+
+    def process_scan(self, points, labels=None, probs=None,
+                     point_valid=None) -> dict:
+        n = points.shape[0]
+        if labels is None:
+            labels = jnp.zeros((n,), jnp.int32)
+        if probs is None:
+            probs = jnp.ones((n,), jnp.float32)
+        if point_valid is None:
+            point_valid = jnp.ones((n,), bool)
+        ts = jnp.asarray(self.timestamp, jnp.int32)
+        ct = jnp.asarray(self.confidence_threshold(), jnp.float32)
+        with self.mesh:
+            (self.map_sh, self.pose, self.last_increment, self.last_maps,
+             self.model_maps, info) = self._step(
+                self.map_sh, self.pose, self.last_increment, self.last_maps,
+                self.model_maps, ts, jnp.asarray(points),
+                jnp.asarray(labels), jnp.asarray(probs),
+                jnp.asarray(point_valid), ct)
+
+        pose = np.asarray(self.pose)
+        self.poses.append(pose)
+        if len(self.poses) > 1:
+            self.trajectory_distances.append(
+                self.trajectory_distances[-1]
+                + float(np.linalg.norm(self.poses[-2][:3, 3] - pose[:3, 3])))
+
+        stats = {
+            "icp-iterations": int(info["iterations"]),
+            "icp-error": float(info["error"]),
+            "track-loss": bool(info["track_loss"]),
+            "map-count": int(info["map_count"]),
+            "surfels-created": int(info["n_created"]),
+            "creations-dropped": int(info["n_dropped"]),
+        }
+        # near-capacity / drops: compact every shard (reclaims dead rows)
+        hw = self.cfg.data.height * self.cfg.data.width
+        if stats["map-count"] + hw > self.mcfg.surfel_capacity * self.ndev \
+                or stats["creations-dropped"]:
+            if self._compact is None:
+                self._compact = make_sharded_compact(self.mcfg, self.mesh,
+                                                     self.axis)
+            with self.mesh:
+                self.map_sh = self._compact(self.map_sh)
+            self.map_version += 1
+        self.statistics.append(stats)
+        return stats
+
+    def rebase(self, new_poses: np.ndarray, new_current: np.ndarray) -> None:
+        """Push optimized pose-graph poses into every shard's pose table
+        (integrateLoopClosures semantics: only poses are rewritten) and
+        re-render the model view at the corrected pose."""
+        if self._update_poses is None:
+            self._update_poses = make_sharded_update_poses(
+                self.mcfg, self.mesh, self.axis)
+            self._render = make_sharded_render(self.cfg, self.mcfg,
+                                               self.mesh, self.axis)
+        arr = np.tile(np.eye(4, dtype=np.float32),
+                      (self.mcfg.max_poses, 1, 1))
+        arr[:min(len(new_poses), self.mcfg.max_poses)] = \
+            new_poses[:self.mcfg.max_poses]
+        with self.mesh:
+            self.map_sh = self._update_poses(self.map_sh, jnp.asarray(arr))
+            self.model_maps = self._render(
+                self.map_sh, jnp.asarray(new_current, jnp.float32),
+                jnp.asarray(self.confidence_threshold(), jnp.float32),
+                jnp.asarray(self.timestamp - self.cfg.loop.delta_timestamp,
+                            jnp.int32))
+        self.pose = jnp.asarray(new_current, jnp.float32)
+        for i in range(min(len(new_poses), len(self.poses))):
+            self.poses[i] = np.asarray(new_poses[i])
+        self.map_version += 1
+
+    def trajectory(self) -> np.ndarray:
+        return np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,47 @@ def test_segmenter_point_interface():
     assert (p >= 0).all() and (p <= 1).all()
 
 
+def test_train_synthetic_miou_and_e2e(tmp_path):
+    """The 'segmenter is real' contract (VERDICT r1 #2): train on the
+    synthetic world, score mIoU > threshold on held-out scans, then drive
+    the FULL SLAM pipeline with network labels (not GT) and check odometry
+    doesn't collapse."""
+    from semantic_suma_tpu.config import SumaConfig
+    from semantic_suma_tpu.core.pipeline import SurfelSLAM
+    from semantic_suma_tpu.io.simulation import SimulationReader, default_world
+    from semantic_suma_tpu.models.segmenter import Segmenter, train_synthetic
+    from semantic_suma_tpu.utils.metrics import ate_rmse
+
+    cfg = SumaConfig().small()
+    seg, miou = train_synthetic(cfg.data, n_train=12, n_val=6, steps=160,
+                                batch=4, lr=3e-3, seed=0,
+                                movable_fraction=0.3)
+    assert miou > 0.5, f"held-out mIoU too low: {miou}"
+
+    # weights artifact round-trip (the --segmenter-weights contract)
+    path = str(tmp_path / "seg.pkl")
+    seg.save(path)
+    seg = Segmenter.load(path, cfg.data)
+
+    world = default_world(seed=0, movable_fraction=0.3)
+    n = 10
+    reader = SimulationReader(cfg.data, n_scans=n, world=world, step=1.0)
+    gt = np.asarray(reader.poses)
+
+    slam = SurfelSLAM(cfg, enable_loop_closure=False)
+    for i in range(n):
+        s = reader.read(i)
+        labels, probs = seg(s.points)
+        # network labels must actually differ from the trivial all-zero
+        # stream on at least some scans
+        if i == 0:
+            assert int(np.sum(np.asarray(labels) > 0)) > 100
+        slam.process_scan(s.points, labels, probs, s.valid)
+    est = slam.trajectory()
+    ate = ate_rmse(gt[:n], est)
+    assert ate < 0.5, f"segmenter-driven odometry ATE too high: {ate}"
+
+
 def test_segmenter_save_load(tmp_path):
     seg = Segmenter(CFG, use_knn=False)
     path = str(tmp_path / "weights.pkl")
