@@ -28,6 +28,7 @@ def main():
 
     cfg = SumaConfig(map=MapConfig(surfel_capacity=1 << 21,
                                    active_capacity=1 << 18,
+                                   min_fresh_rows=2 * 64 * 900,
                                    max_poses=8192))
 
     n_warmup, n_timed = 8, 60

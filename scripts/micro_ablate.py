@@ -24,12 +24,36 @@ from semantic_suma_tpu.io.simulation import (circular_trajectory,
 from semantic_suma_tpu.ops.icp import Maps
 
 
-def run_variant(name, cfg, scans, n_warm=30, n_timed=25):
-    pipeline.odometry_step.clear_cache()
+_BASE = {}  # (id(cfg-like key)) -> steady-state SlamState after real warmup
+
+
+def base_state(cfg, scans, n_warm=30):
+    """Run the REAL pipeline for n_warm scans once; variants start from a
+    copy of this steady-state map so ablation timings aren't polluted by
+    map-size side effects (a patched step that breaks association would
+    otherwise freeze map growth and look artificially fast)."""
+    key = (cfg.map.surfel_capacity, cfg.map.active_capacity, n_warm)
+    if key in _BASE:
+        return _BASE[key]
     state = pipeline.init_state(cfg)
     ct = jnp.asarray(-2.0, jnp.float32)
-    t_c0 = time.perf_counter()
     for i in range(n_warm):
+        s = scans[i]
+        state, info = pipeline.odometry_step(
+            state, s.points, s.labels, s.probs, s.valid, ct, cfg)
+    float(info.pose[0, 3])
+    _BASE[key] = (state, n_warm)
+    return _BASE[key]
+
+
+def run_variant(name, cfg, scans, n_warm=30, n_timed=20):
+    base, start = base_state(cfg, scans, n_warm=n_warm)
+    state = jax.tree.map(lambda a: a.copy(), base)
+    pipeline.odometry_step.clear_cache()
+    ct = jnp.asarray(-2.0, jnp.float32)
+    t_c0 = time.perf_counter()
+    # re-trace + light re-warm of the PATCHED step on the realistic state
+    for i in range(start, start + 4):
         s = scans[i]
         state, info = pipeline.odometry_step(
             state, s.points, s.labels, s.probs, s.valid, ct, cfg)
@@ -38,7 +62,7 @@ def run_variant(name, cfg, scans, n_warm=30, n_timed=25):
     float(info.pose[0, 3])
     compile_s = time.perf_counter() - t_c0
     t0 = time.perf_counter()
-    for i in range(n_warm, n_warm + n_timed):
+    for i in range(start + 4, start + 4 + n_timed):
         s = scans[i]
         state, info = pipeline.odometry_step(
             state, s.points, s.labels, s.probs, s.valid, ct, cfg)

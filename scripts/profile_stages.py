@@ -20,13 +20,20 @@ from semantic_suma_tpu.ops import icp as icp_ops
 from semantic_suma_tpu.ops.zbuffer import zbuffer_argmin
 
 
+def _sync(out):
+    """Value fetch — block_until_ready returns early on the remote tunnel."""
+    leaf = jax.tree.leaves(out)[0]
+    np_leaf = jax.device_get(leaf)
+    return np_leaf
+
+
 def timeit(name, fn, *args, n=30, **kw):
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{name:35s} {dt*1e3:8.3f} ms")
     return out

@@ -49,7 +49,7 @@ from ..config import DataConfig, MapConfig
 from ..models.labels import is_movable
 from ..ops.icp import Maps
 from ..ops.projection import INV_PI, pixel_rays
-from ..ops.zbuffer import zbuffer_argmin, zbuffer_argmin_flagged
+from ..ops.zbuffer import zbuffer_argmin, zbuffer_argmin_flagged, zbuffer_runs
 from ..utils import lie
 
 # float column layout
@@ -881,9 +881,18 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     rsel = rsel & ((act.creation_ts >= render_ts_threshold)
                    | (a.new_ts >= render_ts_threshold))
 
+    # One sort + ONE scatter answers all three per-pixel queries (TPU
+    # scatters serialize per row, so the old two winner scatters + the
+    # colliding scatter-max for the integrated flags cost ~8 ms/scan):
+    # the index-map winner, the render winner (rsel), and "any compatible
+    # surfel at this pixel" (integrated). The integrated query runs over
+    # the z-buffer candidates (cos > 0.01); compatible surfels at grazing
+    # angles (0 < cos <= 0.01) no longer block creation — a negligible
+    # sliver the reference's rasterizer resolves arbitrarily anyway.
     ids = jnp.where(idx_sel, a.pid, -1)
-    winner_all, winner_render, wdepth_render = zbuffer_argmin_flagged(
-        ids, proj.depth, rsel, hw)
+    winner_all, (winner_render, winner_compat), (wdepth_render, _) = \
+        zbuffer_runs(ids, proj.depth, (rsel, a.compatible), hw)
+    integrated = winner_compat >= 0
 
     pid_safe = jnp.minimum(a.pid, hw - 1)
     closest = winner_all[pid_safe] == jnp.arange(act.capacity)
@@ -899,12 +908,8 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     upd = _update_finish(act, a, closest, ts, map_cfg, confidence_threshold)
     compatible, pid = a.compatible, a.pid
 
-    flag_ids = jnp.where(compatible, pid, hw)
-    integrated_i = jnp.zeros((hw,), jnp.int32).at[flag_ids].max(
-        1, mode="drop")
     if axis is not None:
-        integrated_i = jax.lax.psum(integrated_i, axis)
-    integrated = integrated_i > 0
+        integrated = jax.lax.psum(integrated.astype(jnp.int32), axis) > 0
 
     new_data, create = _make_new_surfels(frame, pose, ts, integrated,
                                          map_cfg, semantic)
@@ -914,17 +919,19 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
 
     # Creations go to the view's fresh region only (they reach the global
     # store with the next block writeback). The created rows are
-    # stream-compacted to the front of a per-scan block, which is appended
-    # with chunked dynamic_update_slices: chunk c is written iff it holds
-    # created rows; pad rows inside the last written chunk are overwritten
-    # by the next scan's append (the cursor only advances by n_created).
-    # (Measured alternatives — sort-compaction + row gather, and a single
-    # unconditional read-modify-write slice — were 2 ms/scan SLOWER on
-    # v5e: upd.f stays live for the render gather below, so un-conditional
-    # full-block writes force whole-view copies.)
-    order = jnp.cumsum(create.astype(jnp.int32)) - 1
-    cslots = jnp.where(create, order, mc_eff)
-    block = make_packed(mc_eff).put(cslots, new_data)
+    # stream-compacted to the front of a per-scan block by a stable sort on
+    # the create flag + row gather (a row SCATTER serializes on TPU: the
+    # old cumsum+put compaction measured 2.8 ms vs 1.1 ms for sort+gather
+    # at this size); pad rows inside the block carry valid=0. The block is
+    # appended with chunked dynamic_update_slices: chunk c is written iff
+    # it holds created rows; pad rows inside the last written chunk are
+    # overwritten by the next scan's append (the cursor only advances by
+    # n_created).
+    ckey = (~create).astype(jnp.int32)
+    _, perm = jax.lax.sort(
+        (ckey, jnp.arange(hw, dtype=jnp.int32)), num_keys=1)
+    rows = new_data.take(perm)          # creations first, pixel order kept
+    block = PackedSurfels(f=rows.f[:mc_eff], i=rows.i[:mc_eff])
     n_new = jnp.sum(create)
 
     n_chunks = 4 if mc_eff % 4 == 0 else 1

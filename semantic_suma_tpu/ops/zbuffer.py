@@ -144,6 +144,84 @@ def zbuffer_argmin_flagged(ids: jnp.ndarray, depth: jnp.ndarray,
     return winner_all, winner_flagged, wdepth
 
 
+def zbuffer_runs(ids: jnp.ndarray, depth: jnp.ndarray,
+                 flags: "tuple[jnp.ndarray, ...]", num_cells: int,
+                 depth_bound: float = 100.0):
+    """One sort, ONE scatter, K flagged argmins.
+
+    TPU scatters serialize per row (~2 ms per 2^18-row scatter on v5e
+    regardless of payload width), so the classic "scatter each winner map"
+    z-buffer costs one full scatter per output. This variant scatters only
+    the RUN-START POSITION per cell, then answers every query with cheap
+    [num_cells]-sized gathers over the sorted order:
+
+      * ``winner_all[c]``  — nearest candidate (payload at the run start);
+      * for each flag f: ``winner_f[c]`` — nearest FLAGGED candidate, found
+        via a reverse ``cummin`` of flagged positions (the first flagged
+        element at-or-after the run start, checked to be in the same run).
+
+    ``flags`` ride the payload's high bits through the sort (bit 29-k for
+    flag k), so no post-sort [N] gather of flag values is needed. Requires
+    ``N < 2**26`` and at most 3 flags.
+
+    Returns ``(winner_all, winners, winner_depths)`` where ``winners`` /
+    ``winner_depths`` are tuples aligned with ``flags``; every winner is -1
+    (depth +inf) where the cell has no (flagged) candidate. "Any flagged
+    candidate at cell c" is simply ``winners[k][c] >= 0``.
+    """
+    n = ids.shape[0]
+    assert n < (1 << 26) and len(flags) <= 3
+    valid = (ids >= 0) & (ids < num_cells)
+    payload = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    for k, fl in enumerate(flags):
+        payload = payload | (fl.astype(jnp.int32) << (29 - k))
+
+    depth_bits = 31 - int(num_cells).bit_length()
+    if depth_bits >= 12:
+        qmax = (1 << depth_bits) - 1
+        scale = (1 << depth_bits) / depth_bound
+        q = jnp.clip((depth * scale).astype(jnp.int32), 0, qmax)
+        key = jnp.where(valid,
+                        (ids.astype(jnp.int32) << depth_bits) | q,
+                        (jnp.int32(num_cells) << depth_bits) | qmax)
+        sorted_key, sorted_payload = jax.lax.sort((key, payload), num_keys=1)
+        sorted_ids = sorted_key >> depth_bits
+    else:
+        ids_s = jnp.where(valid, ids, num_cells).astype(jnp.int32)
+        depth_s = jnp.where(valid, depth, jnp.inf).astype(jnp.float32)
+        sorted_ids, _, sorted_payload = jax.lax.sort(
+            (ids_s, depth_s, payload), num_keys=2)
+
+    pmask = (1 << 26) - 1
+    pos = jnp.arange(n, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_ids[:-1]])
+    is_first = (sorted_ids != prev) & (sorted_ids < num_cells)
+
+    # THE one scatter: sorted position of each cell's run start
+    sa = jnp.where(is_first, sorted_ids, num_cells)
+    pos0 = jnp.full((num_cells,), n, jnp.int32).at[sa].set(
+        pos, mode="drop", unique_indices=True)
+    has = pos0 < n
+    p0 = jnp.minimum(pos0, n - 1)
+
+    # pair gathers: (id, payload) at a sorted position in ONE row gather
+    pair = jnp.stack([sorted_ids, sorted_payload], axis=-1)   # [N, 2]
+    pair0 = pair[p0]
+    winner_all = jnp.where(has, pair0[:, 1] & pmask, -1)
+
+    winners, wdepths = [], []
+    for k in range(len(flags)):
+        fbit = (sorted_payload >> (29 - k)) & 1
+        nxt = jax.lax.cummin(jnp.where(fbit > 0, pos, n), reverse=True)
+        nf = jnp.minimum(nxt[p0], n - 1)
+        pf = pair[nf]
+        ok = has & (nxt[p0] < n) & (pf[:, 0] == pair0[:, 0])
+        w = jnp.where(ok, pf[:, 1] & pmask, -1)
+        winners.append(w)
+        wdepths.append(jnp.where(w >= 0, depth[jnp.maximum(w, 0)], jnp.inf))
+    return winner_all, tuple(winners), tuple(wdepths)
+
+
 def scatter_reduce_sum(ids: jnp.ndarray, values: jnp.ndarray, num_cells: int):
     """Segment-sum per cell via sorted segments (used by the blend-average
     vertex-map path, reference ``avg_vertexmap.frag``).

@@ -154,3 +154,41 @@ def test_bilateral_smooths_range_noise():
                                       sigma_space=2.0, sigma_range=0.5))
     out_r = np.linalg.norm(out, axis=-1)
     assert np.std(out_r - 20.0) < 0.5 * np.std(noisy_r - 20.0)
+
+
+def test_zbuffer_runs_matches_oracle():
+    """zbuffer_runs (one sort + ONE scatter, flagged argmins via run scans)
+    against a brute-force oracle, including large-N bit-packing paths."""
+    from semantic_suma_tpu.ops.zbuffer import zbuffer_runs
+    rng = np.random.default_rng(0)
+    n, cells = 5000, 64 * 90
+    ids = rng.integers(-1, cells + 2, size=n).astype(np.int32)
+    depth = rng.uniform(0.1, 80.0, size=n).astype(np.float32)
+    f1 = rng.random(n) < 0.4
+    f2 = rng.random(n) < 0.2
+
+    wa, (w1, w2), (d1, d2) = zbuffer_runs(
+        jnp.asarray(ids), jnp.asarray(depth),
+        (jnp.asarray(f1), jnp.asarray(f2)), cells)
+    wa, w1, w2 = np.asarray(wa), np.asarray(w1), np.asarray(w2)
+    d1 = np.asarray(d1)
+
+    # oracle: quantized-depth winner per cell, ties -> lowest index
+    db = 31 - int(cells).bit_length()
+    q = np.clip((depth * (1 << db) / 100.0).astype(np.int64), 0,
+                (1 << db) - 1)
+    for c in rng.choice(cells, 200, replace=False):
+        cand = np.nonzero((ids == c))[0]
+        if cand.size == 0:
+            assert wa[c] == -1 and w1[c] == -1 and w2[c] == -1
+            continue
+        best = cand[np.lexsort((cand, q[cand]))][0]
+        assert wa[c] == best
+        for flag, w in ((f1, w1), (f2, w2)):
+            fc = cand[flag[cand]]
+            if fc.size == 0:
+                assert w[c] == -1
+            else:
+                assert w[c] == fc[np.lexsort((fc, q[fc]))][0]
+        if w1[c] >= 0:
+            assert d1[c] == depth[w1[c]]
