@@ -1,0 +1,164 @@
+"""Accuracy ledger: run the flagship synthetic configs and append RESULTS.md.
+
+One command produces the round-over-round accuracy record (the analogue of
+BENCH for correctness):
+
+    python scripts/make_results.py --round 2            # full (TPU or CPU)
+    python scripts/make_results.py --round 2 --quick    # smaller, CI-sized
+
+Tracked rows (all on the synthetic raycast world — no KITTI data ships in
+this environment, so these are the canonical numbers; the same CLI commands
+run unchanged on a KITTI sequence directory):
+
+  odometry   — 150 scans, loop closure off: ATE RMSE, t_rel, r_rel
+  noisy      — same with 2 cm range noise
+  loop       — 140-scan closing circle, loop closure on: final-position
+               error after pose-graph optimization + ATE
+  segmenter  — odometry driven by NETWORK labels (the KITTIReader.cpp:173-200
+               contract) instead of ground truth, plus held-out mIoU
+
+The reference publishes no numbers (BASELINE.md); the devkit metrics math is
+the reference's own (`/root/reference/src/util/kitti_utils.cpp:75,149-191`).
+"""
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_cli(args, env=None):
+    cmd = [sys.executable, "-m", "semantic_suma_tpu.cli",
+           "--cache-dir", os.path.join(REPO, ".cache", "jax")] + args
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    print("+", " ".join(cmd), file=sys.stderr)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=e,
+                         cwd=REPO, timeout=3600)
+    if out.returncode != 0:
+        print(out.stdout, file=sys.stderr)
+        print(out.stderr, file=sys.stderr)
+        raise RuntimeError(f"CLI failed: {' '.join(args)}")
+    return out.stdout, out.stderr
+
+
+def last_json(stdout):
+    """The CLI prints the metrics dict as the last JSON object on stdout."""
+    dec = json.JSONDecoder()
+    objs = []
+    i = 0
+    while i < len(stdout):
+        j = stdout.find("{", i)
+        if j < 0:
+            break
+        try:
+            obj, end = dec.raw_decode(stdout[j:])
+            objs.append(obj)
+            i = j + end
+        except ValueError:
+            i = j + 1
+    if not objs:
+        raise RuntimeError(f"no JSON in CLI output:\n{stdout}")
+    return objs[-1]
+
+
+def scans_per_sec(stdout):
+    for line in stdout.splitlines():
+        if "scans/s)" in line:
+            return float(line.split("(")[-1].split(" ")[0])
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller scan counts / training budget")
+    ap.add_argument("--out", default=os.path.join(REPO, "RESULTS.md"))
+    args = ap.parse_args()
+
+    n_odo = 60 if args.quick else 150
+    n_loop = 80 if args.quick else 140
+    seg_steps = 120 if args.quick else 400
+    rows = {}
+
+    with tempfile.TemporaryDirectory() as td:
+        # 1. plain odometry
+        out, _ = run_cli(["run", "--synthetic", str(n_odo),
+                          "--no-loop-closure", "--eval"])
+        m = last_json(out)
+        rows["odometry"] = {"scans": n_odo, **m, "scans_per_sec":
+                            scans_per_sec(out)}
+
+        # 2. noisy odometry
+        out, _ = run_cli(["run", "--synthetic", str(n_odo), "--noise", "0.02",
+                          "--no-loop-closure", "--eval"])
+        rows["noisy"] = {"scans": n_odo, **last_json(out)}
+
+        # 3. loop closure (circle closes at ~113 scans with step=1.0)
+        out, _ = run_cli(["run", "--synthetic", str(n_loop),
+                          "--synthetic-step",
+                          "1.0" if not args.quick else "1.6", "--eval"])
+        rows["loop"] = {"scans": n_loop, **last_json(out)}
+
+        # 4. segmenter-driven (train tiny net on the synthetic world first)
+        wpath = os.path.join(td, "seg.pkl")
+        out, _ = run_cli(["train-segmenter", "--synthetic", "24", "--small",
+                          "--steps", str(seg_steps), "--out", wpath])
+        miou = last_json(out)["val_miou"]
+        out, _ = run_cli(["run", "--synthetic", str(n_odo),
+                          "--movable-fraction", "0.3",
+                          "--segmenter-weights", wpath,
+                          "--no-loop-closure", "--eval"])
+        rows["segmenter"] = {"scans": n_odo, "val_miou": round(miou, 3),
+                             **last_json(out)}
+
+    import jax
+    backend = jax.default_backend()
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+
+    def fmt(v):
+        return f"{v:.4f}" if isinstance(v, float) else str(v)
+
+    lines = [f"\n## Round {args.round} — {stamp} ({backend}"
+             f"{', quick' if args.quick else ''})\n",
+             "| run | scans | ATE RMSE (m) | t_rel (%) | r_rel (deg/100m) |"
+             " final err (m) | extra |",
+             "|---|---|---|---|---|---|---|"]
+    for name, r in rows.items():
+        extra = ""
+        if "val_miou" in r:
+            extra = f"mIoU={r['val_miou']}"
+        if name == "odometry" and r.get("scans_per_sec"):
+            extra = f"{r['scans_per_sec']:.1f} scans/s"
+        lines.append(
+            f"| {name} | {r['scans']} | {fmt(r.get('ate_rmse_m', float('nan')))} "
+            f"| {fmt(r.get('t_rel_percent', float('nan')))} "
+            f"| {fmt(r.get('r_rel_deg_per_100m', float('nan')))} "
+            f"| {fmt(r.get('final_error_m', float('nan')))} | {extra} |")
+
+    header = ("# RESULTS — accuracy ledger (synthetic raycast world)\n\n"
+              "Round-over-round record of trajectory accuracy at the flagship "
+              "64x900 operating point, produced by "
+              "`python scripts/make_results.py --round N`. Metrics are the "
+              "reference's own KITTI-devkit math "
+              "(`/root/reference/src/util/kitti_utils.cpp:75,149-191`) plus "
+              "ATE RMSE; the synthetic world is the canonical dataset here "
+              "(no KITTI data in the environment — see BASELINE.md).\n")
+    exists = os.path.exists(args.out)
+    with open(args.out, "a") as f:
+        if not exists:
+            f.write(header)
+        f.write("\n".join(lines) + "\n")
+    print(f"appended round {args.round} to {args.out}")
+    print(json.dumps(rows, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

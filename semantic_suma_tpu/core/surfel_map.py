@@ -310,6 +310,161 @@ def refresh_active(state: MapState, center: jnp.ndarray, cfg: MapConfig,
         anchor=center)
 
 
+def _recompute_local(rows: PackedSurfels, poses: jnp.ndarray) -> PackedSurfels:
+    """Re-derive creation-frame geometry from the pose table (the sync()
+    math, for one block of rows)."""
+    cp = poses[jnp.clip(rows.creation_ts, 0, poses.shape[0] - 1)]
+    r = cp[:, :3, :3]
+    t = cp[:, :3, 3]
+    local_pos = jnp.einsum("nji,nj->ni", r, rows.wpos - t)
+    local_nrm = jnp.einsum("nji,nj->ni", r, rows.wnormal)
+    f = rows.f.at[:, _POS].set(local_pos).at[:, _NRM].set(local_nrm)
+    return PackedSurfels(f=f, i=rows.i)
+
+
+def refresh_active_incremental(state: MapState, center: jnp.ndarray,
+                               cfg: MapConfig,
+                               margin: float = 25.0) -> MapState:
+    """Hot-path view refresh that moves only CHANGED blocks.
+
+    The full :func:`refresh_active` costs ~10 ms at the flagship operating
+    point (full-view writeback scatter + full-view gather + local-frame
+    recompute over every row) even though consecutive refreshes typically
+    share most of their block set. This variant:
+
+      1. writes back only this cycle's used fresh blocks,
+      2. scores blocks on the global store, overriding view-resident
+         blocks' scores from the (authoritative) view rows,
+      3. swaps evicted->incoming blocks pairwise in a bounded
+         ``fori_loop`` of contiguous block copies (with local-frame
+         recompute only for written-back rows), and
+      4. zeroes the new fresh region instead of gathering known-empty
+         arena blocks.
+
+    Unchanged map blocks keep their stale local-frame (_POS/_NRM) columns
+    in the view — the hot path reads only the world-frame cache; local
+    geometry is recomputed at writeback/sync. Used only with
+    ``priority="new"`` semantics (the loop-closure "old" paging keeps the
+    full refresh).
+    """
+    bs, nb, k, f_blocks = _geometry(cfg)
+    km = k - f_blocks
+    act = state.active
+
+    # ---- fresh bookkeeping (same as refresh_active) ----
+    fresh_start_row = km * bs
+    fresh_used = jnp.maximum(state.active_count - fresh_start_row, 0)
+    used_blocks = (fresh_used + bs - 1) // bs
+    next_alloc = jnp.minimum(state.active_blocks[km] + used_blocks, nb)
+
+    # ---- 1. write back used fresh blocks ----
+    def wb_fresh(i, data):
+        slot = km + i
+        vf = jax.lax.dynamic_slice(act.f, (slot * bs, 0), (bs, NUM_F))
+        vi = jax.lax.dynamic_slice(act.i, (slot * bs, 0), (bs, NUM_I))
+        rows = _recompute_local(PackedSurfels(vf, vi), state.poses)
+        bid = state.active_blocks[slot]
+        off = jnp.where(bid < nb, bid, 0) * bs
+
+        def wr(d):
+            return PackedSurfels(
+                f=jax.lax.dynamic_update_slice(d.f, rows.f, (off, 0)),
+                i=jax.lax.dynamic_update_slice(d.i, rows.i, (off, 0)))
+
+        return jax.lax.cond(bid < nb, wr, lambda d: d, data)
+
+    data = jax.lax.fori_loop(0, used_blocks, wb_fresh, state.data)
+
+    # ---- 2. block scoring (global, view-overridden) ----
+    dmin_g = jnp.min(jnp.where(
+        data.valid.reshape(nb, bs),
+        jnp.linalg.norm(data.wpos.reshape(nb, bs, 3) - center, axis=-1),
+        jnp.inf), axis=1)
+    cts_g = jnp.max(jnp.where(data.valid.reshape(nb, bs),
+                              data.creation_ts.reshape(nb, bs), 0), axis=1)
+    v_valid = act.valid.reshape(k, bs)[:km]
+    v_dmin = jnp.min(jnp.where(
+        v_valid,
+        jnp.linalg.norm(act.wpos.reshape(k, bs, 3)[:km] - center, axis=-1),
+        jnp.inf), axis=1)
+    v_cts = jnp.max(jnp.where(v_valid,
+                              act.creation_ts.reshape(k, bs)[:km], 0), axis=1)
+    curm = state.active_blocks[:km]
+    dmin = dmin_g.at[curm].set(v_dmin, mode="drop")
+    cts = cts_g.at[curm].set(v_cts, mode="drop")
+
+    allocated = jnp.arange(nb, dtype=jnp.int32) < next_alloc
+    near = dmin < (cfg.active_radius + margin)
+    score = jnp.where(allocated & near, -dmin, -jnp.inf)
+    score = score + 1e-5 * cts.astype(jnp.float32)
+    top_score, top_ids = jax.lax.top_k(score, km)
+    pads = nb + jnp.arange(km, dtype=jnp.int32)
+    target = jnp.where(jnp.isfinite(top_score),
+                       top_ids.astype(jnp.int32), pads)
+
+    # ---- 3. pair evicted slots with incoming blocks ----
+    in_target = jnp.zeros((nb,), bool).at[target].set(True, mode="drop")
+    stay = (curm < nb) & in_target[jnp.minimum(curm, nb - 1)]
+    in_view = jnp.zeros((nb,), bool).at[curm].set(True, mode="drop")
+    t_incoming = ~((target < nb) & in_view[jnp.minimum(target, nb - 1)])
+
+    slot_idx = jnp.arange(km, dtype=jnp.int32)
+    _, evict_slots = jax.lax.sort(
+        (stay.astype(jnp.int32), slot_idx), num_keys=1)   # evicted first
+    _, inc_perm = jax.lax.sort(
+        ((~t_incoming).astype(jnp.int32), slot_idx), num_keys=1)
+    incoming_ids = target[inc_perm]                        # incoming first
+    n_changed = km - jnp.sum(stay)
+
+    def swap(i, carry):
+        data, act_f, act_i, ab = carry
+        slot = evict_slots[i]
+        row0 = slot * bs
+        old_id = ab[slot]
+        vf = jax.lax.dynamic_slice(act_f, (row0, 0), (bs, NUM_F))
+        vi = jax.lax.dynamic_slice(act_i, (row0, 0), (bs, NUM_I))
+        rows = _recompute_local(PackedSurfels(vf, vi), state.poses)
+        ooff = jnp.where(old_id < nb, old_id, 0) * bs
+
+        def wr(d):
+            return PackedSurfels(
+                f=jax.lax.dynamic_update_slice(d.f, rows.f, (ooff, 0)),
+                i=jax.lax.dynamic_update_slice(d.i, rows.i, (ooff, 0)))
+
+        data = jax.lax.cond(old_id < nb, wr, lambda d: d, data)
+
+        nid = incoming_ids[i]
+        gok = nid < nb
+        goff = jnp.where(gok, nid, 0) * bs
+        gf = jnp.where(gok, jax.lax.dynamic_slice(
+            data.f, (goff, 0), (bs, NUM_F)), 0.0)
+        gi = jnp.where(gok, jax.lax.dynamic_slice(
+            data.i, (goff, 0), (bs, NUM_I)), 0)
+        act_f = jax.lax.dynamic_update_slice(act_f, gf, (row0, 0))
+        act_i = jax.lax.dynamic_update_slice(act_i, gi, (row0, 0))
+        return data, act_f, act_i, ab.at[slot].set(nid)
+
+    data, act_f, act_i, ab = jax.lax.fori_loop(
+        0, n_changed, swap, (data, act.f, act.i, state.active_blocks))
+
+    # ---- 4. new fresh region (known-empty arena blocks -> just zero) ----
+    fresh = next_alloc + jnp.arange(f_blocks, dtype=jnp.int32)
+    fresh = jnp.where(fresh < nb, fresh,
+                      nb + km + jnp.arange(f_blocks, dtype=jnp.int32))
+    ab = jax.lax.dynamic_update_slice(ab, fresh.astype(jnp.int32), (km,))
+    act_f = jax.lax.dynamic_update_slice(
+        act_f, jnp.zeros((f_blocks * bs, NUM_F), act_f.dtype), (km * bs, 0))
+    act_i = jax.lax.dynamic_update_slice(
+        act_i, jnp.zeros((f_blocks * bs, NUM_I), act_i.dtype), (km * bs, 0))
+
+    return state._replace(
+        data=data, active=PackedSurfels(f=act_f, i=act_i),
+        active_blocks=ab,
+        active_count=jnp.asarray(fresh_start_row, jnp.int32),
+        block_count=jnp.minimum(next_alloc + f_blocks, nb).astype(jnp.int32),
+        anchor=center)
+
+
 def maybe_refresh(state: MapState, center: jnp.ndarray, cfg: MapConfig,
                   pending_creates: int, margin: float = 25.0,
                   refresh_distance: Optional[float] = None) -> MapState:
@@ -325,8 +480,9 @@ def maybe_refresh(state: MapState, center: jnp.ndarray, cfg: MapConfig,
         & (state.block_count < nb)
     need = moved | full | jnp.any(~jnp.isfinite(state.anchor))
     return jax.lax.cond(
-        need, lambda s: refresh_active(s, center, cfg, margin), lambda s: s,
-        state)
+        need,
+        lambda s: refresh_active_incremental(s, center, cfg, margin),
+        lambda s: s, state)
 
 
 # ---------------------------------------------------------------------------

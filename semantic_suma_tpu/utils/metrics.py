@@ -107,11 +107,15 @@ def evaluate(gt: np.ndarray, est: np.ndarray) -> dict:
     """Full evaluation summary (the reference's KITTI::Odometry::eval)."""
     errors = calc_sequence_errors(gt, est)
     t_rel, r_rel = average_errors(errors)
+    n = min(len(gt), len(est))
     return {
         "t_rel_percent": t_rel,
         "r_rel_deg_per_100m": r_rel,
         "ate_rmse_m": ate_rmse(gt, est),
         "ate_rmse_noalign_m": ate_rmse(gt, est, align=False),
+        "final_error_m": float(np.linalg.norm(
+            (np.linalg.inv(gt[0]) @ gt[n - 1])[:3, 3]
+            - (np.linalg.inv(est[0]) @ est[n - 1])[:3, 3])),
         "num_segments": len(errors),
-        "length_m": float(trajectory_distances(gt[:min(len(gt), len(est))])[-1]),
+        "length_m": float(trajectory_distances(gt[:n])[-1]),
     }
