@@ -80,8 +80,15 @@ def main():
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--quick", action="store_true",
                     help="smaller scan counts / training budget")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (e.g. while the TPU is busy)")
     ap.add_argument("--out", default=os.path.join(REPO, "RESULTS.md"))
     args = ap.parse_args()
+    if args.cpu:
+        # propagate to every CLI subprocess (top-level --cpu flag)
+        global run_cli
+        _orig = run_cli
+        run_cli = lambda a, env=None: _orig(["--cpu"] + a, env)
 
     n_odo = 60 if args.quick else 150
     n_loop = 80 if args.quick else 140
@@ -119,8 +126,11 @@ def main():
         rows["segmenter"] = {"scans": n_odo, "val_miou": round(miou, 3),
                              **last_json(out)}
 
-    import jax
-    backend = jax.default_backend()
+    if args.cpu:
+        backend = "cpu"
+    else:
+        import jax
+        backend = jax.default_backend()
     stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
 
     def fmt(v):

@@ -88,7 +88,9 @@ def main():
     orig = dict(
         disk=sm._disk_resolve, zb=sm.zbuffer_argmin_flagged,
         finish=sm._update_finish, stage_a=sm._update_stage_a,
-        slerp=sm._slerp, make_new=sm._make_new_surfels)
+        slerp=sm._slerp, make_new=sm._make_new_surfels,
+        runs=sm.zbuffer_runs, refresh=sm.maybe_refresh,
+        project=sm._project_surfels)
 
     def restore():
         sm._disk_resolve = orig["disk"]
@@ -97,6 +99,9 @@ def main():
         sm._update_stage_a = orig["stage_a"]
         sm._slerp = orig["slerp"]
         sm._make_new_surfels = orig["make_new"]
+        sm.zbuffer_runs = orig["runs"]
+        sm.maybe_refresh = orig["refresh"]
+        sm._project_surfels = orig["project"]
 
     def want(k):
         return which is None or k in which
@@ -125,6 +130,41 @@ def main():
             return w, w, depth[w]
         sm.zbuffer_argmin_flagged = fake_zb
         run_variant("no zbuffer sort", cfg, scans)
+        restore()
+
+    if want("no_runs"):
+        def fake_runs(ids, depth, flags, num_cells, depth_bound=100.0):
+            nn = ids.shape[0]
+            w = (jnp.arange(num_cells, dtype=jnp.int32) * 31) % nn
+            wd = depth[w]
+            return w, tuple(w for _ in flags), tuple(wd for _ in flags)
+        sm.zbuffer_runs = fake_runs
+        run_variant("no zbuffer_runs sort", cfg, scans)
+        restore()
+
+    if want("no_refresh"):
+        def no_refresh(state, center, cfg_, pending_creates, margin=25.0,
+                       refresh_distance=None):
+            return state
+        sm.maybe_refresh = no_refresh
+        run_variant("no view refresh", cfg, scans)
+        restore()
+
+    if want("no_project"):
+        def fake_project(data, pose_inv, dcfg, facing_eps=0.01):
+            # cheap-math stand-in: linear ops only (no norm/arctan2/arcsin)
+            p_c = data.wpos @ pose_inv[:3, :3].T + pose_inv[:3, 3]
+            n_c = data.wnormal @ pose_inv[:3, :3].T
+            depth = jnp.abs(p_c[:, 0]) + jnp.abs(p_c[:, 1]) + jnp.abs(p_c[:, 2])
+            cosv = -jnp.sum(n_c * p_c, axis=-1) * 0.01
+            nn = data.capacity
+            px = (jnp.arange(nn, dtype=jnp.int32) * 7) % dcfg.width
+            py = (jnp.arange(nn, dtype=jnp.int32) * 3) % dcfg.height
+            inside = (depth > dcfg.min_depth) & (depth < dcfg.max_depth)
+            return sm._Projected(p_c, n_c, depth, px, py, cosv > facing_eps,
+                                 inside, cosv)
+        sm._project_surfels = fake_project
+        run_variant("no project (cheap)", cfg, scans)
         restore()
 
     if want("no_finish"):

@@ -49,7 +49,9 @@ def test_loop_closes_circle():
     # after optimization the final pose must be consistent with ground truth
     rel_gt = np.linalg.inv(gt[0]) @ gt[n - 1]
     err = np.linalg.norm(est[n - 1][:3, 3] - rel_gt[:3, 3])
-    assert err < 1.5, err
+    # composed old/new tracking through the verification window (VERDICT r1
+    # #4) tightened this from 1.5 m; measured 0.22 m on CPU at this seed
+    assert err < 1.0, err
 
 
 def test_no_loops_on_straight_run():
