@@ -145,6 +145,12 @@ class LoopClosureConfig:
     delta_timestamp: int = 100              # minimum age of candidate poses
     max_loop_closure_distance: float = 8.0  # compose render gate
     compose_rendering: bool = True
+    # verification gates the reference inlines as literals
+    # (SurfelMapping.cpp:567,713,593) — exposed here so they can be tuned
+    min_valid_ratio: float = 0.2        # valid_ratio > gate
+    max_outlier_ratio: float = 0.85     # outlier_ratio < gate
+    max_increment_difference: float = 0.1  # |log(inc_new)-log(inc_old)| < gate
+    residual_margin: float = 0.1        # (res_old - res_new) < margin slack
 
 
 @dataclass(frozen=True)
@@ -274,6 +280,10 @@ _XML_MAP: Dict[str, Tuple[str, str]] = {
     "loop-min-trajectory-distance": ("loop", "min_trajectory_distance"),
     "max_loop_closure_distance": ("loop", "max_loop_closure_distance"),
     "compose_rendering": ("loop", "compose_rendering"),
+    "loop-min-valid-ratio": ("loop", "min_valid_ratio"),
+    "loop-max-outlier-ratio": ("loop", "max_outlier_ratio"),
+    "loop-max-increment-difference": ("loop", "max_increment_difference"),
+    "loop-residual-margin": ("loop", "residual_margin"),
     "use_filtered_vertexmap": ("preprocess", "use_filtered_vertexmap"),
     "bilateral_sigma_range": ("preprocess", "bilateral_sigma_range"),
     "model_path": ("semantic", "model_path"),

@@ -88,14 +88,23 @@ class LoopCloser:
         """Old-map (inactive) active view around ``center``, cached across
         scans; rebuilt only when the query leaves the cached neighborhood,
         the map was rebased/compacted (``slam.map_version``), or the
-        old/new timestamp split has advanced materially."""
+        old/new timestamp split has advanced materially.
+
+        Staleness tolerance (deliberate): between rebuilds, surfels
+        integrated/culled since cache-build time and blocks whose old/new
+        membership flipped are not reflected in verification renders. The
+        bounds below (8 m of query motion, ~2 verification windows of split
+        drift at 10 Hz) keep that divergence well inside the verification
+        gates' slack — the *old* map changes slowly by construction (only
+        pose rebase touches it, which bumps ``map_version`` and invalidates
+        here). A full refresh still happens on every rebase/compaction."""
         ts = slam.timestamp
         thr = ts - self.cfg.loop.delta_timestamp
         version = getattr(slam, "map_version", 0)
         stale = (self._old_view is None
                  or self._old_view_version != version
-                 or self._old_view_thr + 25 < thr
-                 or np.linalg.norm(center - self._old_view_center) > 12.5)
+                 or self._old_view_thr + 12 < thr
+                 or np.linalg.norm(center - self._old_view_center) > 8.0)
         if stale:
             synced = sm.refresh_active(
                 slam.state.map, jnp.asarray(center, jnp.float32),
@@ -202,14 +211,15 @@ class LoopCloser:
                 np.asarray(lie.se3_log(jnp.asarray(increment, jnp.float32)))
                 - np.asarray(lie.se3_log(jnp.asarray(inc_old, jnp.float32)))))
             verified_this_scan = False
-            if vr > 0.2 and orr < 0.85 and inc_diff < 0.1:
+            if vr > cfg.min_valid_ratio and orr < cfg.max_outlier_ratio \
+                    and inc_diff < cfg.max_increment_difference:
                 pose_old_new = self.last_pose_old @ inc_old
                 cstats = self._composed_residual(slam, pose_old_new, pose)
                 _, _, res_old = self._ratios(cstats)
                 rel_error = res_old / max(res_new, 1e-12)
                 self.pose_old = pose_old_new
                 if rel_error < cfg.residual_threshold or \
-                        (res_old - res_new) < 0.1:
+                        (res_old - res_new) < cfg.residual_margin:
                     self.time_without_loop = 0
                     to = self._closest_index(slam, pose_old_new)
                     if to > -1:
@@ -302,7 +312,7 @@ class LoopCloser:
                 jnp.asarray(init, jnp.float32), self.cfg.icp, self.cfg.model,
                 semantic=self.cfg.semantic.enabled)
             vr, orr, _ = self._ratios(res.stats)
-            if not (vr > 0.2 and orr < 0.85):
+            if not (vr > cfg.min_valid_ratio and orr < cfg.max_outlier_ratio):
                 continue
             cand_pose = pose_prior @ np.asarray(res.pose)
             cstats = self._composed_residual(slam, cand_pose, pose)
@@ -314,7 +324,7 @@ class LoopCloser:
                     rel_outlier < cfg.outlier_threshold:
                 if best is None or (res_old < best[0] and or_old < best[1]):
                     accept = rel_error < cfg.residual_threshold or \
-                        (res_old - res_new) < 0.1
+                        (res_old - res_new) < cfg.residual_margin
                     best = (res_old, or_old, cand_pose, accept)
 
         if best is None:

@@ -594,7 +594,8 @@ def _resolve_maps(entries_list: Sequence[RenderEntries],
             e.data.sem_label[:, None].astype(jnp.float32),
             e.data.sem_prob[:, None]], axis=-1))
     cat = (lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0])
-    winner, _ = zbuffer_argmin(cat(ids), cat(deps), hw)
+    winner, _ = zbuffer_argmin(cat(ids), cat(deps), hw,
+                               depth_bound=max(100.0, cfg.max_depth))
     cand_attrs = cat(attrs)
 
     has = winner >= 0
@@ -706,7 +707,8 @@ def _index_winner(data: PackedSurfels, pose_inv: jnp.ndarray,
     proj = _project_surfels(data, pose_inv, cfg)
     ok = data.valid & proj.visible & proj.inside
     ids = jnp.where(ok, proj.py * cfg.width + proj.px, -1)
-    winner, _ = zbuffer_argmin(ids, proj.depth, cfg.height * cfg.width)
+    winner, _ = zbuffer_argmin(ids, proj.depth, cfg.height * cfg.width,
+                               depth_bound=max(100.0, cfg.max_depth))
     return winner
 
 
@@ -1047,7 +1049,8 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     # sliver the reference's rasterizer resolves arbitrarily anyway.
     ids = jnp.where(idx_sel, a.pid, -1)
     winner_all, (winner_render, winner_compat), (wdepth_render, _) = \
-        zbuffer_runs(ids, proj.depth, (rsel, a.compatible), hw)
+        zbuffer_runs(ids, proj.depth, (rsel, a.compatible), hw,
+                     depth_bound=max(100.0, data_cfg.max_depth))
     integrated = winner_compat >= 0
 
     pid_safe = jnp.minimum(a.pid, hw - 1)
@@ -1072,6 +1075,13 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     create_all = create
     if create_mask is not None:
         create = create & create_mask
+        # valid must follow the MASKED create: rows owned by other devices
+        # sort after this device's creations but would otherwise keep
+        # valid=1 and enter the view as phantom cross-shard duplicates when
+        # a whole chunk containing them is appended (advisor r2, high).
+        new_data = PackedSurfels(
+            f=new_data.f,
+            i=new_data.i.at[:, _VALID].set(create.astype(jnp.int32)))
 
     # Creations go to the view's fresh region only (they reach the global
     # store with the next block writeback). The created rows are
@@ -1093,7 +1103,15 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     n_chunks = 4 if mc_eff % 4 == 0 else 1
     ch = mc_eff // n_chunks
     chunks_needed = (n_new + ch - 1) // ch
-    a_fit = state.active_count + chunks_needed * ch <= view_rows
+    # The append also has to land on REAL arena blocks: once the arena is
+    # exhausted the refresh assigns pad fresh ids (>= nb) whose writeback is
+    # skipped, so appending there would lose the surfels silently at the
+    # next refresh while n_dropped stayed 0 (advisor r2, medium). Fresh ids
+    # are monotone real-then-pad, so checking the last written row's block
+    # suffices.
+    last_slot = (state.active_count + chunks_needed * ch - 1) // bs
+    arena_ok = state.active_blocks[jnp.clip(last_slot, 0, k - 1)] < nb
+    a_fit = (state.active_count + chunks_needed * ch <= view_rows) & arena_ok
     n_created = jnp.where(a_fit, n_new, 0)
     # maybe_refresh guarantees room while the arena can still allocate, so a
     # non-zero drop count means the arena itself is exhausted — surfaced to

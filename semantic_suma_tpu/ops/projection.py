@@ -120,9 +120,11 @@ def project_scan(points: jnp.ndarray,
         vvalid = have.reshape(h, w)
         dmap = jnp.where(vvalid, jnp.linalg.norm(vmap, axis=-1), jnp.inf)
         # winner index still via zbuffer for semantics
-        winner, _ = zbuffer_argmin(ids, depth, h * w)
+        winner, _ = zbuffer_argmin(ids, depth, h * w,
+                                   depth_bound=max(100.0, cfg.max_depth))
     else:
-        winner, wdepth = zbuffer_argmin(ids, depth, h * w)
+        winner, wdepth = zbuffer_argmin(ids, depth, h * w,
+                                        depth_bound=max(100.0, cfg.max_depth))
         vmap = gather_or(winner, points, 0.0).reshape(h, w, 3)
         vvalid = (winner >= 0).reshape(h, w)
         dmap = wdepth.reshape(h, w)

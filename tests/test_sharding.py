@@ -76,6 +76,30 @@ def test_sharded_matches_single_device():
     assert err < 0.1, err
 
 
+def test_sharded_no_phantom_surfels():
+    """Pad rows of the last written creation chunk must not leak pixels
+    owned by OTHER devices into the view as valid surfels (advisor r2,
+    high): after syncing every shard, the store's valid count can never
+    exceed the logical map count."""
+    from semantic_suma_tpu.core import surfel_map as sm_mod
+
+    cfg = small_cfg()
+    mesh = sh.make_mesh(8)
+    slam = sh.ShardedSurfelSLAM(cfg, mesh)
+    reader = SimulationReader(cfg.data, n_scans=60, radius=18.0)
+    for t in range(3):
+        scan = reader.read(t)
+        stats = slam.process_scan(scan.points, scan.labels, scan.probs,
+                                  scan.valid)
+    total_valid = 0
+    for d in range(8):
+        local = jax.tree.map(lambda a: np.asarray(a)[d], slam.map_sh)
+        synced = sm_mod.sync(jax.tree.map(jnp.asarray, local), slam.mcfg)
+        total_valid += int(jnp.sum(synced.data.valid))
+    assert total_valid <= stats["map-count"], \
+        (total_valid, stats["map-count"])
+
+
 def test_sharded_rebase_and_compact():
     """Pose-table rewrite (integrateLoopClosures semantics) and per-shard
     compaction keep the sharded map consistent."""
