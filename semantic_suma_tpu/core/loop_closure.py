@@ -42,6 +42,62 @@ class LoopClosureCandidate:
     rel_pose: np.ndarray  # pose_old^-1 @ posegraph.pose(to)
 
 
+class OldMapRenderCache:
+    """Staleness-managed old-(inactive-)map renderer shared by the
+    single-chip and sharded drivers (each injects its own view build /
+    render callables; the sharded ones run under ``shard_map`` with a
+    depth-min merge).
+
+    Staleness tolerance (deliberate): between rebuilds, surfels
+    integrated/culled since cache-build time and blocks whose old/new
+    membership flipped are not reflected in verification renders. The
+    bounds below (8 m of query motion, ~2 verification windows of split
+    drift at 10 Hz) keep that divergence well inside the verification
+    gates' slack — the *old* map changes slowly by construction (only a
+    pose rebase touches it, which bumps ``map_version`` and invalidates
+    here). A full rebuild also happens on every rebase/compaction.
+    """
+
+    def __init__(self, build_view, render_view, delta_timestamp: int,
+                 motion_bound: float = 8.0, thr_bound: int = 12):
+        self._build_view = build_view    # (center f32[3], thr) -> view
+        self._render = render_view       # (view, pose, conf, thr) -> Maps
+        self.delta_timestamp = delta_timestamp
+        self.motion_bound = motion_bound
+        self.thr_bound = thr_bound
+        self._view = None
+        self._center: Optional[np.ndarray] = None
+        self._version = -1
+        self._thr = -1
+        self._last_render: Optional[tuple] = None
+
+    def render(self, view_pose, timestamp: int, conf_threshold: float,
+               map_version: int):
+        pose = np.asarray(view_pose, np.float32)
+        thr = timestamp - self.delta_timestamp
+        stale = (self._view is None
+                 or self._version != map_version
+                 or self._thr + self.thr_bound < thr
+                 or np.linalg.norm(pose[:3, 3] - self._center)
+                 > self.motion_bound)
+        if stale:
+            self._view = self._build_view(
+                jnp.asarray(pose[:3, 3], jnp.float32),
+                jnp.asarray(thr, jnp.int32))
+            self._center = pose[:3, 3].copy()
+            self._version = map_version
+            self._thr = thr
+            self._last_render = None
+        if self._last_render is not None and \
+                np.array_equal(self._last_render[0], pose):
+            return self._last_render[1]
+        maps = self._render(self._view, jnp.asarray(pose),
+                            jnp.asarray(conf_threshold, jnp.float32),
+                            jnp.asarray(self._thr, jnp.int32))
+        self._last_render = (pose.copy(), maps)
+        return maps
+
+
 @dataclass
 class LoopCloser:
     cfg: SumaConfig
@@ -62,16 +118,6 @@ class LoopCloser:
         info[:3] *= self.cfg.odometry_info_translation ** -2 \
             if self.cfg.odometry_info_translation else 1.0
         self._info = info
-        # cached old-map active view (VERDICT r1 #7): paging the inactive
-        # map in (refresh_active) is a full-arena sweep; consecutive
-        # verification scans reuse the same view until the query moves,
-        # the map is rebased/compacted, or the old/new split advances
-        self._old_view = None             # PackedSurfels
-        self._old_view_center: Optional[np.ndarray] = None
-        self._old_view_version: int = -1
-        self._old_view_thr: int = -1
-        # last old render (pose, Maps) — reused when phases share a pose
-        self._old_render: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     def _ratios(self, stats: icp_ops.IcpStats):
@@ -84,56 +130,11 @@ class LoopCloser:
         residual = float(stats.error) / max(val, 1.0)
         return valid_ratio, outlier_ratio, residual
 
-    def _old_active(self, slam, center: np.ndarray):
-        """Old-map (inactive) active view around ``center``, cached across
-        scans; rebuilt only when the query leaves the cached neighborhood,
-        the map was rebased/compacted (``slam.map_version``), or the
-        old/new timestamp split has advanced materially.
-
-        Staleness tolerance (deliberate): between rebuilds, surfels
-        integrated/culled since cache-build time and blocks whose old/new
-        membership flipped are not reflected in verification renders. The
-        bounds below (8 m of query motion, ~2 verification windows of split
-        drift at 10 Hz) keep that divergence well inside the verification
-        gates' slack — the *old* map changes slowly by construction (only
-        pose rebase touches it, which bumps ``map_version`` and invalidates
-        here). A full refresh still happens on every rebase/compaction."""
-        ts = slam.timestamp
-        thr = ts - self.cfg.loop.delta_timestamp
-        version = getattr(slam, "map_version", 0)
-        stale = (self._old_view is None
-                 or self._old_view_version != version
-                 or self._old_view_thr + 12 < thr
-                 or np.linalg.norm(center - self._old_view_center) > 8.0)
-        if stale:
-            synced = sm.refresh_active(
-                slam.state.map, jnp.asarray(center, jnp.float32),
-                self.cfg.map, priority="old", ts_threshold=thr)
-            self._old_view = synced.active
-            self._old_view_center = np.asarray(center, np.float32).copy()
-            self._old_view_version = version
-            self._old_view_thr = thr
-            self._old_render = None
-        return self._old_view
-
-    def _invalidate_cache(self):
-        self._old_view = None
-        self._old_render = None
-
     def _render_old(self, slam, view_pose):
-        """Inactive-map render at ``view_pose`` from the cached old view."""
-        pose = np.asarray(view_pose, np.float32)
-        if self._old_render is not None and \
-                np.array_equal(self._old_render[0], pose):
-            return self._old_render[1]
-        ts = slam.timestamp
-        act = self._old_active(slam, pose[:3, 3])
-        maps = sm.render_view(
-            act, jnp.asarray(pose), self.cfg.model, self.cfg.map,
-            slam.confidence_threshold(), ts - self.cfg.loop.delta_timestamp,
-            "old")
-        self._old_render = (pose.copy(), maps)
-        return maps
+        """Inactive-map render at ``view_pose`` via the driver's cached
+        old-view renderer (single-chip: refresh_active(priority='old') +
+        render_view; sharded: per-shard refresh + depth-min merge)."""
+        return slam.render_old_maps(view_pose)
 
     def _composed_residual(self, slam, pose_old, pose_new):
         """Residual of the current scan against the composed old+new model:
@@ -142,10 +143,10 @@ class LoopCloser:
         space exactly like render_compose.frag:26-48. ``pose_new`` is the
         current pose by construction (SurfelMapping.cpp:597-607)."""
         old_maps = self._render_old(slam, pose_old)
-        comp = sm.compose_views(old_maps, slam.state.model_maps,
+        comp = sm.compose_views(old_maps, slam.model_maps,
                                 self.cfg.loop.max_loop_closure_distance)
         stats = icp_ops.evaluate(jnp.eye(4, dtype=jnp.float32),
-                                 slam.state.last_maps, comp, self.cfg.icp,
+                                 slam.last_maps, comp, self.cfg.icp,
                                  self.cfg.model,
                                  semantic=self.cfg.semantic.enabled)
         return stats
@@ -202,8 +203,8 @@ class LoopCloser:
         if self.unverified or self.already_verified:
             old_maps = self._render_old(slam, self.last_pose_old)
             res = icp_ops.gauss_newton(
-                slam.state.last_maps, old_maps,
-                jnp.asarray(slam.state.last_increment), self.cfg.icp,
+                slam.last_maps, old_maps,
+                jnp.asarray(slam.last_increment), self.cfg.icp,
                 self.cfg.model, semantic=self.cfg.semantic.enabled)
             vr, orr, _ = self._ratios(res.stats)
             inc_old = np.asarray(res.pose)
@@ -270,10 +271,8 @@ class LoopCloser:
         # the old map through the verification window.
         if cfg.compose_rendering and (self.unverified or self.already_verified):
             old_maps = self._render_old(slam, self.pose_old)
-            slam.state = slam.state._replace(
-                model_maps=sm.compose_views(
-                    old_maps, slam.state.model_maps,
-                    cfg.max_loop_closure_distance))
+            slam.set_model_maps(sm.compose_views(
+                old_maps, slam.model_maps, cfg.max_loop_closure_distance))
 
         stats["loop-count"] = self.loop_count
         stats["loop-closures"] = self.num_loop_closures
@@ -308,7 +307,7 @@ class LoopCloser:
         best = None
         for init in (O, rot_only, half):
             res = icp_ops.gauss_newton(
-                slam.state.last_maps, old_maps,
+                slam.last_maps, old_maps,
                 jnp.asarray(init, jnp.float32), self.cfg.icp, self.cfg.model,
                 semantic=self.cfg.semantic.enabled)
             vr, orr, _ = self._ratios(res.stats)
@@ -340,7 +339,9 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _optimize_and_rebase(self, slam) -> None:
         """Optimize the graph and rebase the live state (the synchronous
-        version of integrateLoopClosures, SurfelMapping.cpp:212-253)."""
+        version of integrateLoopClosures, SurfelMapping.cpp:212-253). The
+        device-side rewrite (pose table + world cache + model re-render) is
+        the driver's ``rebase`` — sharded drivers run it per shard."""
         ts = slam.timestamp - 1
         before_pose = self.posegraph.pose(ts).copy()
         self.posegraph.optimize()
@@ -348,31 +349,13 @@ class LoopCloser:
         self.loop_count = 0
 
         difference = self.posegraph.pose(ts) @ np.linalg.inv(before_pose)
-        new_current = difference @ np.asarray(slam.state.pose)
+        new_current = difference @ np.asarray(slam.pose)
 
-        # push optimized poses into the map's pose table + world cache
-        n = self.posegraph.size()
-        poses_arr = np.asarray(slam.state.map.poses).copy()
         opt = np.stack(self.posegraph.poses())
-        poses_arr[:min(n, poses_arr.shape[0])] = opt[:poses_arr.shape[0]]
-        new_map = sm.update_poses(slam.state.map, jnp.asarray(poses_arr),
-                                  self.cfg.map)
-
-        # re-render the model view at the corrected pose so the next ICP
-        # tracks against the corrected map
-        model_maps = sm.render_maps(
-            new_map, jnp.asarray(new_current, jnp.float32), self.cfg.model,
-            self.cfg.map, slam.confidence_threshold(),
-            (ts + 1) - self.cfg.loop.delta_timestamp, render_old=False)
-
-        slam.state = slam.state._replace(
-            map=new_map, pose=jnp.asarray(new_current, jnp.float32),
-            model_maps=model_maps)
-        slam.map_version = getattr(slam, "map_version", 0) + 1
-        self._invalidate_cache()
+        slam.rebase(opt, new_current)
 
         # rewrite host pose log + trajectory distances
-        for i in range(min(n, len(slam.poses))):
+        for i in range(min(len(opt), len(slam.poses))):
             slam.poses[i] = self.posegraph.pose(i)
         dist = 0.0
         slam.trajectory_distances[0] = 0.0

@@ -185,6 +185,7 @@ def make_sharded_step(cfg: SumaConfig, mesh: Mesh, axis: str = "map"):
             "outlier": result.stats.outlier,
             "valid": result.stats.valid,
             "invalid": result.stats.invalid,
+            "inlier_residual": result.stats.inlier_residual,
         }
         return (_delocal(new_local), new_pose, increment, data_maps,
                 new_model, info)
@@ -194,7 +195,7 @@ def make_sharded_step(cfg: SumaConfig, mesh: Mesh, axis: str = "map"):
     info_spec = {k: P() for k in
                  ("iterations", "track_loss", "n_created", "n_dropped",
                   "map_count", "error", "inlier", "outlier", "valid",
-                  "invalid")}
+                  "invalid", "inlier_residual")}
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(map_spec, P(), P(), maps_spec, maps_spec,
@@ -236,6 +237,26 @@ def make_sharded_update_poses(mcfg, mesh: Mesh, axis: str = "map"):
                              out_specs=map_spec, check_vma=False))
 
 
+def _depth_min_merge(maps: Maps, axis: str) -> Maps:
+    """Merge per-device rendered Maps by nearest depth (inside shard_map):
+    the ICI analogue of the reference's single-GPU depth test."""
+    depth = jnp.where(maps.vertex_valid,
+                      jnp.linalg.norm(maps.vertex, axis=-1), jnp.inf)
+    d_all = jax.lax.all_gather(depth.reshape(-1), axis)     # [D, HW]
+    win = jnp.argmin(d_all, axis=0)
+
+    def pick(a):
+        flat = a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+        ga = jax.lax.all_gather(flat, axis)
+        if ga.ndim == 3:
+            out = jnp.take_along_axis(ga, win[None, :, None], axis=0)[0]
+        else:
+            out = jnp.take_along_axis(ga, win[None, :], axis=0)[0]
+        return out.reshape(a.shape)
+
+    return jax.tree.map(pick, maps)
+
+
 def make_sharded_render(cfg: SumaConfig, mcfg, mesh: Mesh,
                         axis: str = "map"):
     """Out-of-band sharded render (loop closure / rebase): each device
@@ -250,24 +271,50 @@ def make_sharded_render(cfg: SumaConfig, mcfg, mesh: Mesh,
                                    mcfg)
         maps = sm.render_view(synced.active, pose, cfg.model, mcfg,
                               conf_threshold, ts_threshold, "new")
-        depth = jnp.where(maps.vertex_valid,
-                          jnp.linalg.norm(maps.vertex, axis=-1), jnp.inf)
-        d_all = jax.lax.all_gather(depth.reshape(-1), axis)     # [D, HW]
-        win = jnp.argmin(d_all, axis=0)
-
-        def pick(a):
-            flat = a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
-            ga = jax.lax.all_gather(flat, axis)
-            if ga.ndim == 3:
-                out = jnp.take_along_axis(ga, win[None, :, None], axis=0)[0]
-            else:
-                out = jnp.take_along_axis(ga, win[None, :], axis=0)[0]
-            return out.reshape(a.shape)
-
-        return jax.tree.map(pick, maps)
+        return _depth_min_merge(maps, axis)
 
     return jax.jit(shard_map(go, mesh=mesh,
                              in_specs=(map_spec, P(), P(), P()),
+                             out_specs=maps_spec, check_vma=False))
+
+
+def make_sharded_old_view(mcfg, mesh: Mesh, axis: str = "map"):
+    """Page each shard's INACTIVE (old) map blocks into a view around
+    ``center`` (the sharded analogue of ``refresh_active(priority='old')``,
+    reference SurfelMap::render_inactive paging). Returns the per-shard
+    active PackedSurfels with a leading [D] axis, for use with
+    :func:`make_sharded_view_render`."""
+    map_spec = jax.tree.map(lambda _: P(axis), sm.empty_map(mcfg))
+    view_spec = jax.tree.map(lambda _: P(axis), sm.empty_map(mcfg).active)
+
+    def go(map_sh, center, ts_threshold):
+        local = _local(map_sh)
+        synced = sm.refresh_active(local, center, mcfg, priority="old",
+                                   ts_threshold=ts_threshold)
+        return _delocal(synced.active)
+
+    return jax.jit(shard_map(go, mesh=mesh,
+                             in_specs=(map_spec, P(), P()),
+                             out_specs=view_spec, check_vma=False))
+
+
+def make_sharded_view_render(cfg: SumaConfig, mcfg, mesh: Mesh,
+                             which: str = "old", axis: str = "map"):
+    """Render a sharded active VIEW (as returned by
+    :func:`make_sharded_old_view`) at an arbitrary pose with an
+    old/new-selection and a depth-min merge — the sharded
+    ``SurfelMap::render_inactive`` used by loop-closure verification."""
+    view_spec = jax.tree.map(lambda _: P(axis), sm.empty_map(mcfg).active)
+    maps_spec = jax.tree.map(lambda _: P(), _maps_struct(cfg))
+
+    def go(view_sh, pose, conf_threshold, ts_threshold):
+        act = _local(view_sh)
+        maps = sm.render_view(act, pose, cfg.model, mcfg, conf_threshold,
+                              ts_threshold, which)
+        return _depth_min_merge(maps, axis)
+
+    return jax.jit(shard_map(go, mesh=mesh,
+                             in_specs=(view_spec, P(), P(), P()),
                              out_specs=maps_spec, check_vma=False))
 
 
@@ -276,7 +323,8 @@ class ShardedSurfelSLAM:
     ``pipeline.SurfelSLAM`` with the same process_scan interface, statistics,
     near-capacity compaction and pose-graph rebase support."""
 
-    def __init__(self, cfg: SumaConfig, mesh: Mesh, axis: str = "map"):
+    def __init__(self, cfg: SumaConfig, mesh: Mesh, axis: str = "map",
+                 enable_loop_closure: bool | None = None):
         from ..core.preprocessing import empty_maps
 
         self.cfg = cfg
@@ -288,6 +336,15 @@ class ShardedSurfelSLAM:
         self._compact = None
         self._update_poses = None
         self._render = None
+        self._old_view_fn = None
+        self._old_render_fn = None
+        self._old_cache = None
+        self._loop = None
+        do_loops = cfg.loop.enabled if enable_loop_closure is None \
+            else enable_loop_closure
+        if do_loops and cfg.approach == "frame-to-model":
+            from ..core.loop_closure import LoopCloser
+            self._loop = LoopCloser(cfg)
 
         base = sm.empty_map(self.mcfg)
         stacked = _stack_tree(base, self.ndev)
@@ -359,8 +416,54 @@ class ShardedSurfelSLAM:
             with self.mesh:
                 self.map_sh = self._compact(self.map_sh)
             self.map_version += 1
+
+        if self._loop is not None:
+            from ..core.pipeline import StepInfo
+            from ..ops.icp import IcpStats
+            shim = StepInfo(
+                pose=self.pose, increment=self.last_increment,
+                stats=IcpStats(
+                    error=info["error"], valid=info["valid"],
+                    inlier=info["inlier"], outlier=info["outlier"],
+                    inlier_residual=info["inlier_residual"],
+                    invalid=info["invalid"]),
+                iterations=info["iterations"],
+                track_loss=info["track_loss"], n_created=info["n_created"],
+                n_dropped=info["n_dropped"], map_count=info["map_count"])
+            stats.update(self._loop.on_scan(self, shim))
+
         self.statistics.append(stats)
         return stats
+
+    # ---- backend accessors for the driver-agnostic LoopCloser ----------
+    def set_model_maps(self, maps) -> None:
+        self.model_maps = maps
+
+    def render_old_maps(self, view_pose):
+        """Cached old-(inactive-)map render: per-shard priority='old' view
+        paging + old-selection render + depth-min ICI merge."""
+        from ..core.loop_closure import OldMapRenderCache
+        if self._old_view_fn is None:
+            self._old_view_fn = make_sharded_old_view(self.mcfg, self.mesh,
+                                                      self.axis)
+            self._old_render_fn = make_sharded_view_render(
+                self.cfg, self.mcfg, self.mesh, "old", self.axis)
+
+        def build_view(center, thr):
+            with self.mesh:
+                return self._old_view_fn(self.map_sh, center, thr)
+
+        def render_view(view, pose, conf, thr):
+            with self.mesh:
+                return self._old_render_fn(view, pose, conf, thr)
+
+        if self._old_cache is None:
+            self._old_cache = OldMapRenderCache(
+                build_view, render_view,
+                delta_timestamp=self.cfg.loop.delta_timestamp)
+        return self._old_cache.render(view_pose, self.timestamp,
+                                      self.confidence_threshold(),
+                                      self.map_version)
 
     def rebase(self, new_poses: np.ndarray, new_current: np.ndarray) -> None:
         """Push optimized pose-graph poses into every shard's pose table

@@ -127,6 +127,44 @@ def test_sharded_rebase_and_compact():
     assert stats["map-count"] >= before
 
 
+def test_sharded_loop_closure():
+    """Full SLAM (configs 3x4 of BASELINE.json): loop closure runs on the
+    8-device mesh — sharded old-map paging + old-selection render with
+    depth-min merge, composed tracking, candidate search, pose-graph
+    optimization and a per-shard rebase. A circular revisit must close the
+    loop and the corrected trajectory must agree with ground truth."""
+    from semantic_suma_tpu.config import LoopClosureConfig
+
+    d = DataConfig(width=120, height=24)
+    cfg = SumaConfig(
+        data=d, model=d, icp=IcpConfig(max_iterations=10),
+        map=MapConfig(surfel_capacity=1 << 16, active_capacity=1 << 14,
+                      max_poses=256),
+        loop=LoopClosureConfig(enabled=True, min_trajectory_distance=60.0,
+                               delta_timestamp=20, search_distance=20.0,
+                               min_verifications=3, outlier_threshold=6.0))
+    radius, n = 16.0, 75
+    reader = SimulationReader(cfg.data, n_scans=n, radius=radius, step=1.6,
+                              noise_sigma=0.03, seed=2)
+    mesh = sh.make_mesh(8)
+    slam = sh.ShardedSurfelSLAM(cfg, mesh)
+    assert slam._loop is not None
+    for i in range(n):
+        s = reader.read(i)
+        slam.process_scan(s.points, s.labels, s.probs, s.valid)
+
+    lc = slam._loop
+    assert lc.num_loop_closures >= 1, (
+        lc.num_loop_closures, lc.time_without_loop, len(lc.unverified))
+    assert lc.num_optimizations >= 1
+
+    est = slam.trajectory()
+    gt = np.asarray(reader.poses)
+    rel_gt = np.linalg.inv(gt[0]) @ gt[n - 1]
+    err = np.linalg.norm(est[n - 1][:3, 3] - rel_gt[:3, 3])
+    assert err < 1.0, err
+
+
 def test_sharded_train_step():
     mesh = sh.make_2d_mesh(4, 2)
     model = rn.small_rangenet()
