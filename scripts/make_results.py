@@ -117,7 +117,7 @@ def main():
                           "1.0" if not args.quick else "1.6", "--eval",
                           "--stats-json", sj])
         with open(sj) as f:
-            entries = json.load(f)
+            entries = [json.loads(line) for line in f if line.strip()]
         n_loops = max((e.get("loop-closures", 0) for e in entries), default=0)
         rows["loop"] = {"scans": n_loop, **last_json(out),
                         "scans_per_sec": scans_per_sec(out),

@@ -90,6 +90,19 @@ def jax_tree_to_np(tree):
     return jax.tree.map(np.asarray, tree)
 
 
+def save_cloud_ply(path: str, cloud: np.ndarray) -> None:
+    """Plain xyz point-cloud PLY (aggregated raw scans, no surfel attrs)."""
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {cloud.shape[0]}\n")
+        for c in ("x", "y", "z"):
+            f.write(f"property float {c}\n")
+        f.write("end_header\n")
+        for p in cloud:
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+    print(f"wrote {cloud.shape[0]} points to {path}")
+
+
 def cmd_run(args) -> int:
     from .core.pipeline import SurfelSLAM
     from .utils import metrics
@@ -138,19 +151,48 @@ def cmd_run(args) -> int:
             return s.points, s.labels, s.probs, None
 
     count = min(count, args.max_scans or count)
-    slam = SurfelSLAM(cfg)
+    if args.resume:
+        from .utils.checkpoint import load_checkpoint
+        slam = load_checkpoint(args.resume, cfg)
+        start = len(slam.poses)
+        print(f"resumed at scan {start} from {args.resume}", file=sys.stderr)
+    else:
+        slam = SurfelSLAM(cfg)
+        start = 0
+
+    evlog = None
+    if args.stats_json:
+        from .utils.eventlog import EventLog
+        evlog = EventLog("run", args.stats_json)
+
+    accum = None
+    if args.save_cloud:
+        from .utils.scan_accumulator import ScanAccumulator
+        accum = ScanAccumulator(history_size=count,
+                                stride=max(1, count // 200))
+
     t0 = time.perf_counter()
-    for i in range(count):
+    for i in range(start, count):
         pts, labels, probs, valid = get_scan(i)
         stats = slam.process_scan(pts, labels, probs, valid)
+        if evlog is not None:
+            evlog.log("scan", idx=i, **stats)
+        if accum is not None:
+            accum.insert(pts, slam.poses[-1], valid)
         if args.verbose and i % 10 == 0:
             print(f"scan {i}/{count}: iters={stats['icp-iterations']} "
                   f"map={stats['map-count']} "
                   f"loops={stats.get('loop-closures', 0)}", file=sys.stderr)
     wall = time.perf_counter() - t0
+    n_done = count - start
     est = slam.trajectory()
-    print(f"processed {count} scans in {wall:.1f}s "
-          f"({count / wall:.2f} scans/s)")
+    print(f"processed {n_done} scans in {wall:.1f}s "
+          f"({n_done / max(wall, 1e-9):.2f} scans/s)")
+
+    if args.save_checkpoint:
+        from .utils.checkpoint import save_checkpoint
+        save_checkpoint(slam, args.save_checkpoint)
+        print(f"checkpoint -> {args.save_checkpoint}", file=sys.stderr)
 
     if args.export_poses:
         from .io.kitti import save_poses
@@ -158,12 +200,14 @@ def cmd_run(args) -> int:
         save_poses(args.export_poses, est, tr)
         print(f"poses -> {args.export_poses}")
 
-    if args.stats_json:
-        with open(args.stats_json, "w") as f:
-            json.dump(slam.statistics, f)
+    if evlog is not None:
+        evlog.close()
 
     if args.save_map:
         save_map_ply(args.save_map, slam.state, cfg.map)
+
+    if accum is not None:
+        save_cloud_ply(args.save_cloud, accum.world_cloud(max_points=2_000_000))
 
     if args.plot_dir:
         import os
@@ -196,9 +240,6 @@ def cmd_eval(args) -> int:
 
 
 def cmd_train_segmenter(args) -> int:
-    import jax
-    import jax.numpy as jnp
-
     if args.synthetic:
         from .config import DataConfig
         from .models import rangenet as rn
@@ -215,50 +256,21 @@ def cmd_train_segmenter(args) -> int:
 
     from .io.kitti import KITTIReader
     from .models import rangenet as rn
-    from .models.labels import raw_to_train
-    from .models.segmenter import (Segmenter, create_train_state,
-                                   make_train_step)
-    from .ops.projection import project_scan
+    from .models.segmenter import train_kitti
     from .config import DataConfig
 
     cfg = DataConfig()
     model = rn.small_rangenet() if args.small else rn.RangeNet()
-    tx, state = create_train_state(model, jax.random.PRNGKey(args.seed),
-                                   (1, cfg.height, cfg.width, 5),
-                                   learning_rate=args.lr)
-    step = jax.jit(make_train_step(model, tx))
     reader = KITTIReader(args.dataset, use_gt_labels=True)
     if reader.label_files is None:
         print("ERROR: no SemanticKITTI labels found", file=sys.stderr)
         return 1
-
-    proj = jax.jit(lambda p, l, r: project_scan(
-        p, l, remissions=r, cfg=cfg))
-    n = reader.count()
-    for epoch in range(args.epochs):
-        order = np.random.default_rng(epoch).permutation(n)
-        for bi in range(0, n - args.batch + 1, args.batch):
-            imgs, labs, vals = [], [], []
-            for j in order[bi:bi + args.batch]:
-                scan = reader.read(int(j))
-                res = proj(jnp.asarray(scan.points),
-                           jnp.asarray(scan.labels),
-                           jnp.asarray(scan.remissions))
-                imgs.append(rn.make_input(res.vertex_map, res.depth_map,
-                                          res.remission, res.vertex_valid))
-                labs.append(raw_to_train(res.sem_label))
-                vals.append(res.vertex_valid & (res.sem_label > 0))
-            state, m = step(state, jnp.stack(imgs), jnp.stack(labs),
-                            jnp.stack(vals))
-            if (bi // args.batch) % 10 == 0:
-                print(f"epoch {epoch} step {bi // args.batch}: "
-                      f"loss={float(m['loss']):.3f} "
-                      f"acc={float(m['accuracy']):.3f}", file=sys.stderr)
-        seg = Segmenter(cfg, model=model,
-                        variables={"params": state.params,
-                                   "batch_stats": state.batch_stats})
-        seg.save(args.out)
-        print(f"epoch {epoch}: weights -> {args.out}")
+    seg, miou = train_kitti(
+        reader, cfg, epochs=args.epochs, batch=args.batch, lr=args.lr,
+        seed=args.seed, model=model, val_fraction=args.val_fraction,
+        log=lambda *a: print(*a, file=sys.stderr))
+    seg.save(args.out)
+    print(json.dumps({"val_miou": miou, "weights": args.out}))
     return 0
 
 
@@ -285,8 +297,16 @@ def main(argv=None) -> int:
     runp.add_argument("--segmenter-weights")
     runp.add_argument("--no-gt-labels", action="store_true")
     runp.add_argument("--export-poses")
-    runp.add_argument("--stats-json")
+    runp.add_argument("--stats-json",
+                      help="per-scan statistics as a JSONL event log")
     runp.add_argument("--save-map")
+    runp.add_argument("--save-cloud",
+                      help="aggregated world-frame raw-scan cloud PLY")
+    runp.add_argument("--save-checkpoint",
+                      help="write a resumable session checkpoint at the end")
+    runp.add_argument("--resume",
+                      help="resume from a checkpoint written by "
+                           "--save-checkpoint (same config/capacities)")
     runp.add_argument("--plot-dir",
                       help="write trajectory/statistics/map-image PNGs here")
     runp.add_argument("--eval", action="store_true")
@@ -311,6 +331,8 @@ def main(argv=None) -> int:
     trainp.add_argument("--batch", type=int, default=4)
     trainp.add_argument("--lr", type=float, default=1e-3)
     trainp.add_argument("--seed", type=int, default=0)
+    trainp.add_argument("--val-fraction", type=float, default=0.1,
+                        help="held-out fraction for mIoU (dataset mode)")
     trainp.add_argument("--small", action="store_true")
     trainp.set_defaults(fn=cmd_train_segmenter)
 

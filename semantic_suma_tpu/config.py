@@ -107,6 +107,13 @@ class MapConfig:
     submap_extent: float = 10.0
     # confidence-threshold warmup length (SurfelMapping.h time_init)
     time_init: int = 30
+    # host-RAM spill (the reference's CPU SubmapCache, SurfelMap.cpp:744-824):
+    # when the arena nears exhaustion, far blocks page out to host memory and
+    # page back in on revisit, making map scale unbounded
+    spill_enabled: bool = True
+    spill_chunk_blocks: int = 8         # whole blocks per spill chunk
+    spill_margin: float = 25.0          # keep blocks within radius+margin
+    unspill_margin: float = 25.0        # page back within radius+margin
 
     @property
     def log_prior(self) -> float:
@@ -151,6 +158,12 @@ class LoopClosureConfig:
     max_outlier_ratio: float = 0.85     # outlier_ratio < gate
     max_increment_difference: float = 0.1  # |log(inc_new)-log(inc_old)| < gate
     residual_margin: float = 0.1        # (res_old - res_new) < margin slack
+    # coarse-to-fine pyramid levels for the candidate-search ICP: large-yaw
+    # initializations inside the metric gates alias full-width projective
+    # association but converge from coarse levels (see ops/pyramid.py);
+    # the reference plumbs a pyramid but leaves it at level 0
+    # (Frame2Model.cpp:127-129)
+    search_levels: int = 3
 
 
 @dataclass(frozen=True)

@@ -136,6 +136,21 @@ class LoopCloser:
         render_view; sharded: per-shard refresh + depth-min merge)."""
         return slam.render_old_maps(view_pose)
 
+    def _align_candidate(self, data, model, init):
+        """Candidate-search ICP. Initializations here can be meters off
+        after drift, so a coarse-to-fine pyramid (search_levels > 1) widens
+        the projective-association basin; level 0 = the odometry solver."""
+        levels = self.cfg.loop.search_levels
+        if levels > 1:
+            from ..ops.pyramid import gauss_newton_pyramid
+            return gauss_newton_pyramid(
+                data, model, jnp.asarray(init, jnp.float32), self.cfg.icp,
+                self.cfg.model, levels=levels,
+                semantic=self.cfg.semantic.enabled)
+        return icp_ops.gauss_newton(
+            data, model, jnp.asarray(init, jnp.float32), self.cfg.icp,
+            self.cfg.model, semantic=self.cfg.semantic.enabled)
+
     def _composed_residual(self, slam, pose_old, pose_new):
         """Residual of the current scan against the composed old+new model:
         old map rendered at ``pose_old``, new map = the hot path's own model
@@ -306,10 +321,7 @@ class LoopCloser:
         # jumps to the ICP estimate (else it stays at the odometry pose)
         best = None
         for init in (O, rot_only, half):
-            res = icp_ops.gauss_newton(
-                slam.last_maps, old_maps,
-                jnp.asarray(init, jnp.float32), self.cfg.icp, self.cfg.model,
-                semantic=self.cfg.semantic.enabled)
+            res = self._align_candidate(slam.last_maps, old_maps, init)
             vr, orr, _ = self._ratios(res.stats)
             if not (vr > cfg.min_valid_ratio and orr < cfg.max_outlier_ratio):
                 continue

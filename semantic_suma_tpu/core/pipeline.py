@@ -153,6 +153,13 @@ class SurfelSLAM:
         self.creations_dropped = 0
         self._loop = None
         self._old_cache = None
+        self.spill = None
+        if cfg.map.spill_enabled:
+            from .spill import SpillManager
+            self.spill = SpillManager(
+                cfg.map, chunk_blocks=cfg.map.spill_chunk_blocks,
+                spill_margin=cfg.map.spill_margin,
+                unspill_margin=cfg.map.unspill_margin)
         do_loops = cfg.loop.enabled if enable_loop_closure is None \
             else enable_loop_closure
         if do_loops and cfg.approach == "frame-to-model":
@@ -188,6 +195,14 @@ class SurfelSLAM:
         """Cached old-(inactive-)map render at ``view_pose`` (loop-closure
         verification; VERDICT r1 #7 caching lives in OldMapRenderCache)."""
         from .loop_closure import OldMapRenderCache
+        if self.spill is not None:
+            # the old map a revisit needs may have been paged out — bring
+            # chunks near the verification view back before rendering
+            st = self.spill.ensure_resident(
+                self.state.map, np.asarray(view_pose)[:3, 3])
+            if st is not None:
+                self.state = self.state._replace(map=st)
+                self.map_version += 1
         if getattr(self, "_old_cache", None) is None:
             self._old_cache = OldMapRenderCache(
                 build_view=lambda center, thr: sm.refresh_active(
@@ -219,6 +234,8 @@ class SurfelSLAM:
             model_maps=model_maps)
         for i in range(min(len(new_poses), len(self.poses))):
             self.poses[i] = np.asarray(new_poses[i])
+        if self.spill is not None:
+            self.spill.on_rebase(arr)
         self.map_version += 1
 
     def confidence_threshold(self) -> float:
@@ -247,21 +264,32 @@ class SurfelSLAM:
             self.state, jnp.asarray(points), jnp.asarray(labels),
             jnp.asarray(probs), jnp.asarray(point_valid), ct, self.cfg)
 
-        # near-capacity: stream-compact the store (the reference's
-        # copy_surfels pass does this implicitly every scan). A non-zero
-        # drop count means the arena filled before the host got ahead of
-        # it — compact immediately so at most ONE scan ever drops, and
-        # count what was lost (VERDICT r1: no silent creation drops).
+        # near-capacity policy: first page far blocks to host RAM (the
+        # reference's SubmapCache), then fall back to stream compaction.
+        # A non-zero drop count means the arena filled before the host got
+        # ahead of it — reclaim immediately so at most ONE scan ever drops,
+        # and count what was lost (VERDICT r1: no silent creation drops).
         cap = self.cfg.map.surfel_capacity
         hw = self.cfg.data.height * self.cfg.data.width
         n_dropped = int(info.n_dropped)
         self.creations_dropped += n_dropped
-        if int(info.map_count) + hw > cap or n_dropped:
+        pose = np.asarray(info.pose)
+        spilled = False
+        if self.spill is not None:
+            st = self.spill.ensure_resident(self.state.map, pose[:3, 3])
+            if st is not None:
+                self.state = self.state._replace(map=st)
+                self.map_version += 1
+            st = self.spill.maybe_spill(self.state.map, pose[:3, 3],
+                                        headroom_rows=2 * hw)
+            if st is not None:
+                self.state = self.state._replace(map=st)
+                self.map_version += 1
+                spilled = True  # maybe_spill compacts internally
+        if not spilled and (int(self.state.map.count) + hw > cap or n_dropped):
             self.state = self.state._replace(
                 map=sm.compact(self.state.map, self.cfg.map))
             self.map_version += 1
-
-        pose = np.asarray(info.pose)
         self.poses.append(pose)
         if len(self.poses) > 1:
             self.trajectory_distances.append(

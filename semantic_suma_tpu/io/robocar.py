@@ -1,10 +1,11 @@
 """Oxford RobotCar-format binary scan reader.
 
 Counterpart of ``/root/reference/src/io/RobocarReader.{h,cpp}``: lists the
-binary scans of a RobotCar LiDAR directory and decodes each file as a
-float64 column matrix — the RobotCar SDK stores an N-column array of
-[x, y, z, intensity] rows written column-major (the reference reads 4
-doubles per point). No semantics are available for this format.
+``.bin`` scans of a RobotCar LiDAR directory and decodes each file as a
+flat sequence of 3 float64 values per point (x, y, z), negating y and z to
+bring the cloud into the engine's sensor frame — exactly the contract of
+``RobocarReader.cpp:33-49``. No remissions and no semantics exist in this
+format; remission defaults to zero and labels to "unlabeled".
 """
 
 from __future__ import annotations
@@ -34,14 +35,12 @@ class RobocarReader:
 
     def read(self, idx: int) -> KittiScan:
         raw = np.fromfile(self.files[idx], dtype=np.float64)
-        # RobotCar velodyne binaries: 4 x N doubles, column-major rows
-        pts = raw.reshape(4, -1).T
-        points = pts[:, :3].astype(np.float32)
-        rem = pts[:, 3].astype(np.float32)
-        m = rem.max()
-        if m > 0:
-            rem = rem / m
+        # 3 doubles per point, row-major [x y z]; sensor frame requires
+        # negated y and z (reference RobocarReader.cpp:45-49).
+        pts = raw.reshape(-1, 3).astype(np.float32)
+        points = pts * np.array([1.0, -1.0, -1.0], np.float32)
         n = points.shape[0]
-        return KittiScan(points=points, remissions=rem,
+        return KittiScan(points=points,
+                         remissions=np.zeros(n, np.float32),
                          labels=np.zeros(n, np.int32),
                          probs=np.ones(n, np.float32))

@@ -300,3 +300,86 @@ def train_synthetic(cfg: DataConfig, *, n_train: int = 48, n_val: int = 8,
     m, per_class = evaluate_miou(seg, va_i, va_l, va_v)
     log(f"val mIoU = {m:.3f}  per-class={per_class}")
     return seg, m
+
+
+def kitti_dataset(reader, cfg: DataConfig, indices):
+    """Project a set of reader scans into (images, train-labels, valid)
+    stacks — the KITTI analogue of :func:`synthetic_dataset`."""
+    from .rangenet import make_input
+
+    proj = jax.jit(lambda p, l, r: project_scan(p, l, remissions=r, cfg=cfg))
+    imgs, labs, vals = [], [], []
+    for j in indices:
+        scan = reader.read(int(j))
+        res = proj(jnp.asarray(scan.points), jnp.asarray(scan.labels),
+                   jnp.asarray(scan.remissions))
+        imgs.append(np.asarray(make_input(res.vertex_map, res.depth_map,
+                                          res.remission, res.vertex_valid)))
+        labs.append(np.asarray(raw_to_train(res.sem_label)))
+        vals.append(np.asarray(res.vertex_valid & (res.sem_label > 0)))
+    return np.stack(imgs), np.stack(labs), np.stack(vals)
+
+
+def train_kitti(reader, cfg: DataConfig, *, epochs: int = 1, batch: int = 4,
+                lr: float = 1e-3, seed: int = 0,
+                model: RangeNet | None = None, val_fraction: float = 0.1,
+                log=None):
+    """Train a segmenter on SemanticKITTI .label supervision with the same
+    quality contract as :func:`train_synthetic`: a held-out split, inverse-
+    log-frequency class weights, a warmup+cosine schedule, and a final
+    held-out mIoU. Returns (Segmenter, mIoU).
+
+    The reference delegates this entirely to an externally trained TensorRT
+    engine (RangenetAPI.cpp:13-17); this is the native training path.
+    """
+    log = log or (lambda *a: None)
+    model = model or small_rangenet()
+    n = reader.count()
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    n_val = max(1, int(round(n * val_fraction)))
+    val_idx, train_idx = order[:n_val], order[n_val:]
+    if len(train_idx) < batch:
+        raise ValueError(f"need >= {batch + 1} scans, got {n}")
+
+    # class weights from a sample of the training labels
+    sample = train_idx[:min(len(train_idx), 32)]
+    s_i, s_l, s_v = kitti_dataset(reader, cfg, sample)
+    cw = jnp.asarray(class_weights_from_freq(s_l, s_v, model.num_classes))
+
+    steps_per_epoch = len(train_idx) // batch
+    total = max(1, epochs * steps_per_epoch)
+    tx, state = create_train_state(
+        model, jax.random.PRNGKey(seed), (batch, cfg.height, cfg.width, 5),
+        learning_rate=lr, total_steps=total)
+    step_fn = jax.jit(make_train_step(model, tx, class_weights=cw))
+
+    cache = {int(j): (s_i[k], s_l[k], s_v[k]) for k, j in enumerate(sample)}
+
+    def fetch(j):
+        j = int(j)
+        if j not in cache:
+            i_, l_, v_ = kitti_dataset(reader, cfg, [j])
+            cache[j] = (i_[0], l_[0], v_[0])
+        return cache[j]
+
+    for epoch in range(epochs):
+        ep_order = rng.permutation(train_idx)
+        for bi in range(steps_per_epoch):
+            rows = [fetch(j) for j in ep_order[bi * batch:(bi + 1) * batch]]
+            state, m = step_fn(
+                state, jnp.asarray(np.stack([r[0] for r in rows])),
+                jnp.asarray(np.stack([r[1] for r in rows])),
+                jnp.asarray(np.stack([r[2] for r in rows])))
+            if bi % 10 == 0:
+                log(f"epoch {epoch} step {bi}/{steps_per_epoch}: "
+                    f"loss={float(m['loss']):.3f} "
+                    f"acc={float(m['accuracy']):.3f}")
+
+    seg = Segmenter(cfg, model=model,
+                    variables={"params": state.params,
+                               "batch_stats": state.batch_stats})
+    va_i, va_l, va_v = kitti_dataset(reader, cfg, val_idx)
+    m, per_class = evaluate_miou(seg, va_i, va_l, va_v)
+    log(f"val mIoU = {m:.3f}  per-class={per_class}")
+    return seg, m

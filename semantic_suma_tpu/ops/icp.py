@@ -70,30 +70,6 @@ class IcpResult(NamedTuple):
     iterations: jnp.ndarray   # int32
 
 
-def _bilinear_gather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    """Bilinear sample of [H,W,C] at continuous pixel coords (GL texel-center
-    convention: value at pixel center (i+0.5)). Wraps horizontally, clamps
-    vertically."""
-    h, w = img.shape[0], img.shape[1]
-    xf = x - 0.5
-    yf = y - 0.5
-    x0 = jnp.floor(xf)
-    y0 = jnp.floor(yf)
-    ax = (xf - x0)[..., None]
-    ay = (yf - y0)[..., None]
-    x0i = jnp.mod(x0.astype(jnp.int32), w)
-    x1i = jnp.mod(x0i + 1, w)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    v00 = img[y0i, x0i]
-    v10 = img[y0i, x1i]
-    v01 = img[y1i, x0i]
-    v11 = img[y1i, x1i]
-    top = v00 * (1 - ax) + v10 * ax
-    bot = v01 * (1 - ax) + v11 * ax
-    return top * (1 - ay) + bot * ay
-
-
 def _pack_model_image(model: Maps) -> jnp.ndarray:
     """Loop-invariant flat model image [H*W, 8]: vertex 0:3, normal 3:6,
     valid 6, label 7. Built ONCE per alignment so each GN iteration pays a

@@ -88,7 +88,16 @@ def gauss_newton_pyramid(data: Maps, model: Maps, t0: jnp.ndarray,
                          ) -> IcpResult:
     """Coarse-to-fine projective ICP: solve at ``W/2^(levels-1)`` first,
     feed the estimate down to finer levels. The finest level's stats and
-    pose are returned; iteration counts are summed over levels."""
+    pose are returned; iteration counts are summed over levels.
+
+    Where it helps (measured on the synthetic world): initializations that
+    satisfy the METRIC association gates (max_distance/max_angle) but fall
+    outside the projective basin — e.g. ~0.5 rad yaw error aliases pixel
+    associations at full width, while level-2/3 pixels still associate
+    correctly. It cannot rescue initializations outside the metric gates
+    (coarse pixels keep the same world-space mismatch), and loosening the
+    gates at coarse levels was measured to make things worse (bad ground
+    associations dominate), so the gates are the same at every level."""
     if level_iterations is None:
         level_iterations = DEFAULT_LEVEL_ITERATIONS
     data_pyr = build_pyramid(data, levels)

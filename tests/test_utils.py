@@ -60,17 +60,19 @@ def test_scan_accumulator():
 
 
 def test_robocar_reader(tmp_path):
+    """3 float64 per point, y/z negated (RobocarReader.cpp:33-49)."""
     d = tmp_path / "scans"
     d.mkdir()
     rng = np.random.default_rng(0)
-    pts = rng.normal(size=(4, 50))
+    pts = rng.normal(size=(50, 3))
     pts.tofile(d / "0001.bin")
     pts.tofile(d / "0002.bin")
     r = RobocarReader(str(d))
     assert r.count() == 2
     scan = r.read(0)
     assert scan.points.shape == (50, 3)
-    np.testing.assert_allclose(scan.points[:, 0], pts[0], rtol=1e-6)
+    np.testing.assert_allclose(scan.points,
+                               pts * np.array([1.0, -1.0, -1.0]), rtol=1e-6)
     assert np.all(scan.labels == 0)
 
 
