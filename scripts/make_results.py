@@ -110,9 +110,22 @@ def main():
 
         # 3. loop closure (circle closes at ~113 scans with step=1.0);
         # scans/s here vs the odometry row quantifies the loop overhead
-        # (VERDICT r2 #2: "loop overhead < 20%")
+        # (VERDICT r2 #2: "loop overhead < 20%"). The default loop gates
+        # target KITTI scale (min-trajectory-distance 200 m); this ~113 m
+        # synthetic lap needs the tests' proven gates instead.
+        loop_xml = os.path.join(td, "loop.xml")
+        with open(loop_xml, "w") as f:
+            f.write("""<config>
+<param name="loop-min-trajectory-distance" type="float">60</param>
+<param name="loop-delta-timestamp" type="integer">20</param>
+<param name="loop-search-distance" type="float">20</param>
+<param name="loop-min-verifications" type="integer">3</param>
+<param name="loop-outlier-threshold" type="float">6.0</param>
+</config>
+""")
         sj = os.path.join(td, "loop_stats.json")
         out, _ = run_cli(["run", "--synthetic", str(n_loop),
+                          "--config", loop_xml,
                           "--synthetic-step",
                           "1.0" if not args.quick else "1.6", "--eval",
                           "--stats-json", sj])

@@ -297,6 +297,8 @@ _XML_MAP: Dict[str, Tuple[str, str]] = {
     "loop-max-outlier-ratio": ("loop", "max_outlier_ratio"),
     "loop-max-increment-difference": ("loop", "max_increment_difference"),
     "loop-residual-margin": ("loop", "residual_margin"),
+    "loop-delta-timestamp": ("loop", "delta_timestamp"),
+    "loop-search-levels": ("loop", "search_levels"),
     "use_filtered_vertexmap": ("preprocess", "use_filtered_vertexmap"),
     "bilateral_sigma_range": ("preprocess", "bilateral_sigma_range"),
     "model_path": ("semantic", "model_path"),

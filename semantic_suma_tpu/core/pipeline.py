@@ -136,6 +136,29 @@ def odometry_step(state: SlamState, points: jnp.ndarray, labels: jnp.ndarray,
     return new_state, info
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def odometry_run(state: SlamState, points: jnp.ndarray, labels: jnp.ndarray,
+                 probs: jnp.ndarray, point_valid: jnp.ndarray,
+                 conf_thresholds: jnp.ndarray, cfg: SumaConfig):
+    """Process a stacked batch of scans [T, ...] in ONE device program.
+
+    ``lax.scan`` over :func:`odometry_step` — the streaming/offline mode:
+    a single dispatch per chunk instead of per scan, which removes the
+    per-call host->device launch overhead entirely (measured ~2 ms/scan
+    through the remote-TPU tunnel). Per-scan host work (loop closure,
+    spill paging, statistics) does not run inside a chunk, so this is the
+    odometry/mapping fast path; drivers interleave chunks with host-side
+    bookkeeping at chunk boundaries. Returns (final state, stacked
+    StepInfo for every scan in the chunk)."""
+    def body(st, xs):
+        pts, lab, prb, val, ct = xs
+        st2, info = odometry_step(st, pts, lab, prb, val, ct, cfg)
+        return st2, info
+
+    return jax.lax.scan(
+        body, state, (points, labels, probs, point_valid, conf_thresholds))
+
+
 class SurfelSLAM:
     """Host-side driver: owns device state, pose log, statistics and (when
     enabled) the loop-closure state machine. The reference equivalent is the

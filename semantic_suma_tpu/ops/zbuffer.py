@@ -147,18 +147,25 @@ def zbuffer_argmin_flagged(ids: jnp.ndarray, depth: jnp.ndarray,
 def zbuffer_runs(ids: jnp.ndarray, depth: jnp.ndarray,
                  flags: "tuple[jnp.ndarray, ...]", num_cells: int,
                  depth_bound: float = 100.0):
-    """One sort, ONE scatter, K flagged argmins.
+    """One sentinel-augmented sort, ZERO scatters, K flagged argmins.
 
-    TPU scatters serialize per row (~2 ms per 2^18-row scatter on v5e
-    regardless of payload width), so the classic "scatter each winner map"
-    z-buffer costs one full scatter per output. This variant scatters only
-    the RUN-START POSITION per cell, then answers every query with cheap
-    [num_cells]-sized gathers over the sorted order:
+    TPU scatters serialize per row (~1.2 ms for a 2^18-update scatter on
+    v5e regardless of payload width), so even the single run-start scatter
+    of the previous design dominated this kernel. This variant removes it:
+    one **sentinel row per cell** is appended to the sort input with a
+    depth that sorts before every real candidate of that cell (real
+    quantized depths are shifted up by one bucket). After the sort, the
+    element right after cell c's sentinel is c's nearest candidate, and
+    the per-cell answers live AT the sentinel rows — which are already in
+    cell order, so one cheap stable 1-bit-key sort (sentinels first)
+    compacts all K+1 winner arrays to dense [num_cells] maps at once.
+    Sort + scans + sort; no serializing scatter anywhere.
 
-      * ``winner_all[c]``  — nearest candidate (payload at the run start);
-      * for each flag f: ``winner_f[c]`` — nearest FLAGGED candidate, found
-        via a reverse ``cummin`` of flagged positions (the first flagged
-        element at-or-after the run start, checked to be in the same run).
+      * ``winner_all[c]``  — nearest candidate (payload right after the
+        sentinel, if in the same run);
+      * for each flag f: ``winner_f[c]`` — nearest FLAGGED candidate, via
+        a reverse ``cummin`` of flagged positions (first flagged element
+        after the sentinel, checked to be in the same run).
 
     ``flags`` ride the payload's high bits through the sort (bit 29-k for
     flag k), so no post-sort [N] gather of flag values is needed. Requires
@@ -170,55 +177,88 @@ def zbuffer_runs(ids: jnp.ndarray, depth: jnp.ndarray,
     candidate at cell c" is simply ``winners[k][c] >= 0``.
     """
     n = ids.shape[0]
-    assert n < (1 << 26) and len(flags) <= 3
+    m = n + num_cells
+    assert m < (1 << 26) and len(flags) <= 3
     valid = (ids >= 0) & (ids < num_cells)
     payload = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     for k, fl in enumerate(flags):
         payload = payload | (fl.astype(jnp.int32) << (29 - k))
+    # sentinel payloads carry bit 30; their iota is the cell id (unused)
+    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (num_cells,), 0)
+    pay_ext = jnp.concatenate([payload, cell_iota | (1 << 30)])
 
     depth_bits = 31 - int(num_cells).bit_length()
     if depth_bits >= 12:
         qmax = (1 << depth_bits) - 1
         scale = (1 << depth_bits) / depth_bound
-        q = jnp.clip((depth * scale).astype(jnp.int32), 0, qmax)
+        # real depths occupy buckets [1, qmax]; sentinels get bucket 0 and
+        # therefore sort strictly first within their cell's run
+        q = jnp.clip((depth * scale).astype(jnp.int32), 0, qmax - 1) + 1
         key = jnp.where(valid,
                         (ids.astype(jnp.int32) << depth_bits) | q,
                         (jnp.int32(num_cells) << depth_bits) | qmax)
-        sorted_key, sorted_payload = jax.lax.sort((key, payload), num_keys=1)
-        sorted_ids = sorted_key >> depth_bits
+        key_ext = jnp.concatenate([key, cell_iota << depth_bits])
+        sorted_key, sorted_pay = jax.lax.sort((key_ext, pay_ext), num_keys=1)
+        # pair carries the raw key: one row gather yields BOTH the run-id
+        # check (key >> bits) and the winner's quantized depth (key & qmax)
+        pair_first = sorted_key
+        to_id = lambda v: v >> depth_bits
     else:
         ids_s = jnp.where(valid, ids, num_cells).astype(jnp.int32)
+        ids_ext = jnp.concatenate([ids_s, cell_iota])
         depth_s = jnp.where(valid, depth, jnp.inf).astype(jnp.float32)
-        sorted_ids, _, sorted_payload = jax.lax.sort(
-            (ids_s, depth_s, payload), num_keys=2)
+        depth_ext = jnp.concatenate(
+            [depth_s, jnp.full((num_cells,), -jnp.inf, jnp.float32)])
+        sorted_ids, _, sorted_pay = jax.lax.sort(
+            (ids_ext, depth_ext, pay_ext), num_keys=2)
+        pair_first = sorted_ids
+        to_id = lambda v: v
 
     pmask = (1 << 26) - 1
-    pos = jnp.arange(n, dtype=jnp.int32)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_ids[:-1]])
-    is_first = (sorted_ids != prev) & (sorted_ids < num_cells)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    is_real = ((sorted_pay >> 30) & 1) == 0
 
-    # THE one scatter: sorted position of each cell's run start
-    sa = jnp.where(is_first, sorted_ids, num_cells)
-    pos0 = jnp.full((num_cells,), n, jnp.int32).at[sa].set(
-        pos, mode="drop", unique_indices=True)
-    has = pos0 < n
-    p0 = jnp.minimum(pos0, n - 1)
+    # first flagged real position at-or-after each row (reverse cummin)
+    nxts = []
+    for k in range(len(flags)):
+        fbit = is_real & (((sorted_pay >> (29 - k)) & 1) > 0)
+        nxts.append(jax.lax.cummin(jnp.where(fbit, pos, m), reverse=True))
 
-    # pair gathers: (id, payload) at a sorted position in ONE row gather
-    pair = jnp.stack([sorted_ids, sorted_payload], axis=-1)   # [N, 2]
-    pair0 = pair[p0]
-    winner_all = jnp.where(has, pair0[:, 1] & pmask, -1)
+    # compact the sentinel POSITIONS (already in cell order) to the front
+    # with one stable 1-bit-key sort; every per-cell answer then follows
+    # from [num_cells]-sized gathers over the sorted order (cheap — the
+    # wide multi-operand carry sort measured 3x the cost of these gathers)
+    ckey = is_real.astype(jnp.int32)
+    _, p_sent = jax.lax.sort((ckey, pos), num_keys=1)
+    p = p_sent[:num_cells]                              # [C], cell order
+
+    pair = jnp.stack([pair_first, sorted_pay], axis=-1)  # [m, 2]
+    nxt_pair = pair[jnp.minimum(p + 1, m - 1)]           # [C, 2] row gather
+    nxt_real = ((nxt_pair[:, 1] >> 30) & 1) == 0
+    winner_all = jnp.where((p + 1 < m) & nxt_real
+                           & (to_id(nxt_pair[:, 0]) == cell_iota),
+                           nxt_pair[:, 1] & pmask, -1)
 
     winners, wdepths = [], []
     for k in range(len(flags)):
-        fbit = (sorted_payload >> (29 - k)) & 1
-        nxt = jax.lax.cummin(jnp.where(fbit > 0, pos, n), reverse=True)
-        nf = jnp.minimum(nxt[p0], n - 1)
-        pf = pair[nf]
-        ok = has & (nxt[p0] < n) & (pf[:, 0] == pair0[:, 0])
+        nxt_c = nxts[k][p]                               # [C] gather
+        nf = jnp.minimum(nxt_c, m - 1)
+        pf = pair[nf]                                    # [C, 2] row gather
+        ok = (nxt_c < m) & (to_id(pf[:, 0]) == cell_iota)
         w = jnp.where(ok, pf[:, 1] & pmask, -1)
         winners.append(w)
-        wdepths.append(jnp.where(w >= 0, depth[jnp.maximum(w, 0)], jnp.inf))
+        if depth_bits >= 12:
+            # decode the winner's (quantized) depth straight from the sort
+            # key carried in the pair gather — saves a [C]-from-[N] float
+            # gather; callers use winner depths only for near-tie
+            # comparisons (compose merge, cross-device argmin), where
+            # bucket resolution (<=2.4 mm at the 64x900 point) is
+            # immaterial
+            wd = ((pf[:, 0] & qmax) - 1).astype(jnp.float32) / scale
+            wdepths.append(jnp.where(w >= 0, wd, jnp.inf))
+        else:
+            wdepths.append(jnp.where(w >= 0, depth[jnp.maximum(w, 0)],
+                                     jnp.inf))
     return winner_all, tuple(winners), tuple(wdepths)
 
 

@@ -191,4 +191,7 @@ def test_zbuffer_runs_matches_oracle():
             else:
                 assert w[c] == fc[np.lexsort((fc, q[fc]))][0]
         if w1[c] >= 0:
-            assert d1[c] == depth[w1[c]]
+            # winner depths are decoded from the quantized sort key
+            # (floor of the bucket) — exact to one bucket width
+            bucket = 100.0 / (1 << db)
+            assert 0.0 <= depth[w1[c]] - d1[c] <= bucket + 1e-6
