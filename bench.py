@@ -26,6 +26,10 @@ def main():
     from semantic_suma_tpu.io.simulation import (circular_trajectory,
                                                  default_world, render_scan)
 
+    # NOTE: a 3*2^16 view (131k map region) was measured to be too small at
+    # this operating point — the local map (~147k rows) no longer fits, so
+    # evicted surfels re-create every scan (map ballooned 0.9M -> 1.8M and
+    # refreshes fired per-scan). The view must hold the full local map.
     cfg = SumaConfig(map=MapConfig(surfel_capacity=1 << 21,
                                    active_capacity=1 << 18,
                                    min_fresh_rows=2 * 64 * 900,
@@ -62,30 +66,80 @@ def main():
     float(info.pose[0, 3])  # sync once at the end
     dt_step = time.perf_counter() - t0
 
-    # streaming mode: the whole timed window as ONE device program
-    # (lax.scan chunk — the production offline/streaming path; removes
-    # the per-call dispatch overhead of the remote tunnel)
-    from semantic_suma_tpu.core.pipeline import odometry_run
-    timed = scans[n_warmup:n_warmup + n_timed]
-    stk = lambda f: jnp.stack([f(s) for s in timed])
-    pts, lab, prb, val = (stk(lambda s: s.points), stk(lambda s: s.labels),
-                          stk(lambda s: s.probs), stk(lambda s: s.valid))
-    cts = jnp.full((n_timed,), -2.0, jnp.float32)
-    state2 = init_state(cfg)
-    for i in range(n_warmup):
-        s = scans[i]
-        state2, info2 = step(state2, s.points, s.labels, s.probs, s.valid,
-                             ct, cfg)
-    _, infos = odometry_run(state2, pts, lab, prb, val, cts, cfg)  # compile
-    float(infos.pose[0, 0, 3])
-    t0 = time.perf_counter()
-    _, infos = odometry_run(state2, pts, lab, prb, val, cts, cfg)
-    float(infos.pose[-1, 0, 3])
-    dt = time.perf_counter() - t0
-    print(f"# per-dispatch mode: {n_timed / dt_step:.2f} scans/s "
-          f"({dt_step / n_timed * 1e3:.2f} ms/scan incl. tunnel dispatch); "
-          f"streaming mode: {n_timed / dt:.2f} scans/s "
-          f"({dt / n_timed * 1e3:.2f} ms/scan)", file=sys.stderr)
+    # NOTE: a lax.scan "streaming" variant (whole window as one program)
+    # was measured 3x SLOWER on this backend: the scan carry forces
+    # per-iteration relayout/double-buffer copies of the 2^21-row arena
+    # arrays, dwarfing the ~1-2 ms/scan dispatch overhead it saves.
+    # Per-step dispatch keeps the arena buffers in place.
+    dt = dt_step
+    infos = info
+    print(f"# {n_timed / dt_step:.2f} scans/s "
+          f"({dt_step / n_timed * 1e3:.2f} ms/scan incl. tunnel dispatch)",
+          file=sys.stderr)
+
+    # ---- per-stage attribution + speed-of-light (VERDICT r2 #1) ----
+    # Differencing loops over the jitted stage groups; see
+    # scripts/micro_fr.py / micro_gap.py for the full per-op table.
+    from semantic_suma_tpu.core.pipeline import preprocess_scan
+    from semantic_suma_tpu.core import surfel_map as smod
+    from semantic_suma_tpu.ops import icp as icp_ops
+    from semantic_suma_tpu.utils import lie as lie_mod
+
+    def diff_time(body, k_lo=4, k_hi=16):
+        times = {}
+        for k in (k_lo, k_hi):
+            f = jax.jit(lambda t0, k=k: jax.lax.fori_loop(
+                0, k, lambda i, t: body(t + 1e-6 * i), t0))
+            float(f(jnp.float32(0.0)))
+            t0c = time.perf_counter()
+            for r in range(3):
+                out = f(jnp.float32(r * 0.1))
+            float(out)
+            times[k] = (time.perf_counter() - t0c) / 3
+        return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+
+    s = scans[-1]
+    st = state
+
+    def pre_body(t):
+        m = preprocess_scan(s.points + t * 1e-9, s.labels, s.probs,
+                            s.valid, False, cfg)
+        return jnp.sum(m.vertex) * 1e-20 + t
+
+    def gn_body(t):
+        m = preprocess_scan(s.points + t * 1e-9, s.labels, s.probs,
+                            s.valid, False, cfg)
+        r = icp_ops.gauss_newton(m, st.model_maps,
+                                 jnp.eye(4, dtype=jnp.float32), cfg.icp,
+                                 cfg.model, semantic=True)
+        return jnp.sum(r.pose) * 1e-20 + t
+
+    t_pre = diff_time(pre_body)
+    t_gn = max(diff_time(gn_body) - t_pre, 0.0)
+    t_step = dt / n_timed
+    t_fuse = max(t_step - t_pre - t_gn, 0.0)
+    print(f"# stages: preprocess {t_pre*1e3:.2f} ms | icp(GN) "
+          f"{t_gn*1e3:.2f} ms | fuse+render {t_fuse*1e3:.2f} ms | "
+          f"total {t_step*1e3:.2f} ms/scan", file=sys.stderr)
+
+    # speed-of-light: the workload is gather/sort/latency-bound, not
+    # FLOP-bound (MFU ~0% — the only MXU work is the 6x8 ICP reduction and
+    # 3x3 rotations). The binding roofline is HBM traffic of the mandatory
+    # array passes per scan:
+    act_rows = cfg.map.active_capacity
+    hw = cfg.data.height * cfg.data.width
+    bytes_view = 2 * act_rows * 80            # active view read+write (f+i)
+    bytes_gather = act_rows * 40              # frame-image row gather
+    bytes_sort = 22 * (act_rows + hw) * 8     # ~log2 passes over (key,pay)
+    bytes_maps = 12 * hw * 40                 # images/render/creation passes
+    total_bytes = bytes_view + bytes_gather + bytes_sort + bytes_maps
+    hbm_gbps = 819.0                          # v5e HBM bandwidth
+    sol_ms = total_bytes / (hbm_gbps * 1e9) * 1e3
+    print(f"# speed-of-light: >= {total_bytes / 1e6:.0f} MB/scan mandatory "
+          f"HBM traffic -> {sol_ms:.2f} ms at {hbm_gbps:.0f} GB/s; achieved "
+          f"{t_step*1e3:.2f} ms = {100 * sol_ms / (t_step*1e3):.0f}% of "
+          f"BW-bound SoL (sort/gather latency-bound; MFU n/a — FLOPs "
+          f"negligible)", file=sys.stderr)
 
     scans_per_sec = n_timed / dt
     baseline = 10.0  # reference real-time rate (10 Hz KITTI sensor)
@@ -98,8 +152,8 @@ def main():
     print(json.dumps(result))
     # extra context for humans, not parsed by the driver
     print(f"# {n_timed} scans in {dt:.2f}s; "
-          f"map surfels={int(infos.map_count[-1])}; "
-          f"last-scan GN iters={float(infos.iterations[-1]):.0f}",
+          f"map surfels={int(infos.map_count)}; "
+          f"last-scan GN iters={float(infos.iterations):.0f}",
           file=sys.stderr)
 
 

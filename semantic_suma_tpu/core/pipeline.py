@@ -142,14 +142,18 @@ def odometry_run(state: SlamState, points: jnp.ndarray, labels: jnp.ndarray,
                  conf_thresholds: jnp.ndarray, cfg: SumaConfig):
     """Process a stacked batch of scans [T, ...] in ONE device program.
 
-    ``lax.scan`` over :func:`odometry_step` — the streaming/offline mode:
-    a single dispatch per chunk instead of per scan, which removes the
-    per-call host->device launch overhead entirely (measured ~2 ms/scan
-    through the remote-TPU tunnel). Per-scan host work (loop closure,
-    spill paging, statistics) does not run inside a chunk, so this is the
-    odometry/mapping fast path; drivers interleave chunks with host-side
-    bookkeeping at chunk boundaries. Returns (final state, stacked
-    StepInfo for every scan in the chunk)."""
+    ``lax.scan`` over :func:`odometry_step` — one dispatch per chunk
+    instead of per scan. Per-scan host work (loop closure, spill paging,
+    statistics) does not run inside a chunk; drivers interleave chunks
+    with host-side bookkeeping at chunk boundaries. Returns (final state,
+    stacked StepInfo for every scan in the chunk).
+
+    Measured caveat (v5e, 2^21-row arena): the scan carry forces
+    per-iteration relayout/double-buffer copies of the arena arrays,
+    which on the remote-tunnel benchmark COST MORE (~22 ms/scan) than the
+    ~1-2 ms/scan dispatch overhead the chunking saves — so bench.py uses
+    per-step dispatch. This entry point remains for small-arena streaming
+    use and directly-attached runtimes where XLA aliases the carry."""
     def body(st, xs):
         pts, lab, prb, val, ct = xs
         st2, info = odometry_step(st, pts, lab, prb, val, ct, cfg)

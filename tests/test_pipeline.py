@@ -69,3 +69,32 @@ def test_statistics_exported():
                 "complete-time"):
         assert key in s
     assert s["icp-iterations"] >= 1
+
+
+def test_odometry_run_matches_per_step():
+    """The lax.scan chunk entry (odometry_run) must reproduce the per-step
+    dispatch path exactly."""
+    import jax.numpy as jnp
+    from semantic_suma_tpu.core.pipeline import (init_state, odometry_run,
+                                                 odometry_step)
+    cfg = small_cfg()
+    reader = SimulationReader(cfg.data, n_scans=4, radius=18.0)
+    scans = [reader.read(i) for i in range(4)]
+
+    st_a = init_state(cfg)
+    ct = jnp.asarray(0.0, jnp.float32)
+    poses = []
+    for s in scans:
+        st_a, info = odometry_step(st_a, s.points, s.labels, s.probs,
+                                   s.valid, ct, cfg)
+        poses.append(np.asarray(info.pose))
+
+    st_b = init_state(cfg)
+    stk = lambda f: jnp.stack([f(s) for s in scans])
+    st_b, infos = odometry_run(
+        st_b, stk(lambda s: s.points), stk(lambda s: s.labels),
+        stk(lambda s: s.probs), stk(lambda s: s.valid),
+        jnp.zeros((4,), jnp.float32), cfg)
+    np.testing.assert_allclose(np.asarray(infos.pose), np.stack(poses),
+                               atol=1e-6)
+    assert int(st_b.map.count) == int(st_a.map.count)
