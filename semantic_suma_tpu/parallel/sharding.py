@@ -346,6 +346,20 @@ class ShardedSurfelSLAM:
             from ..core.loop_closure import LoopCloser
             self._loop = LoopCloser(cfg)
 
+        self.spill = None
+        if cfg.map.spill_enabled:
+            # one host-RAM spill manager per shard: each device's arena
+            # pages its own far blocks out/in (the single-chip
+            # core.spill machinery applied shard-wise; shard slices move
+            # host<->device only on the rare pressure/revisit paths)
+            from ..core.spill import SpillManager
+            self.spill = [
+                SpillManager(self.mcfg,
+                             chunk_blocks=cfg.map.spill_chunk_blocks,
+                             spill_margin=cfg.map.spill_margin,
+                             unspill_margin=cfg.map.unspill_margin)
+                for _ in range(self.ndev)]
+
         base = sm.empty_map(self.mcfg)
         stacked = _stack_tree(base, self.ndev)
         map_shardings = jax.tree.map(
@@ -363,6 +377,18 @@ class ShardedSurfelSLAM:
     @property
     def timestamp(self) -> int:
         return len(self.poses)
+
+    @property
+    def spilled_rows(self) -> int:
+        return sum(m.spilled_rows for m in self.spill) if self.spill else 0
+
+    def _local_shard(self, d: int) -> sm.MapState:
+        """Shard d's MapState as unsharded arrays (rare-path host paging)."""
+        return jax.tree.map(lambda a: a[d], self.map_sh)
+
+    def _write_shard(self, d: int, st: sm.MapState) -> None:
+        self.map_sh = jax.tree.map(lambda a, l: a.at[d].set(l),
+                                   self.map_sh, st)
 
     def confidence_threshold(self) -> float:
         c = self.cfg.map
@@ -406,10 +432,38 @@ class ShardedSurfelSLAM:
             "surfels-created": int(info["n_created"]),
             "creations-dropped": int(info["n_dropped"]),
         }
-        # near-capacity / drops: compact every shard (reclaims dead rows)
+        # near-capacity / drops: page far blocks to host RAM per shard,
+        # then compact every shard (reclaims dead rows). Revisits page
+        # spilled chunks back in whenever any manager holds chunks near
+        # the vehicle (host-side centroid check — free until spill).
         hw = self.cfg.data.height * self.cfg.data.width
-        if stats["map-count"] + hw > self.mcfg.surfel_capacity * self.ndev \
-                or stats["creations-dropped"]:
+        pos3 = pose[:3, 3]
+        if self.spill is not None:
+            changed = False
+            for d in range(self.ndev):
+                if self.spill[d].chunks:
+                    st = self.spill[d].ensure_resident(
+                        self._local_shard(d), pos3)
+                    if st is not None:
+                        self._write_shard(d, st)
+                        changed = True
+            if changed:
+                self.map_version += 1
+        # per-shard pressure from the REAL block counts (one tiny [D]
+        # transfer — the single-chip free-rows policy applied shard-wise)
+        bs = self.mcfg.effective_block_size
+        blocks = np.asarray(self.map_sh.block_count)
+        free_rows = self.mcfg.surfel_capacity - blocks * bs
+        headroom = 2 * self.mcfg.min_fresh_rows
+        pressure = bool((free_rows < headroom).any()) \
+            or bool(stats["creations-dropped"])
+        if pressure:
+            if self.spill is not None:
+                for d in range(self.ndev):
+                    st = self.spill[d].maybe_spill(
+                        self._local_shard(d), pos3, headroom_rows=headroom)
+                    if st is not None:
+                        self._write_shard(d, st)
             if self._compact is None:
                 self._compact = make_sharded_compact(self.mcfg, self.mesh,
                                                      self.axis)
@@ -443,6 +497,19 @@ class ShardedSurfelSLAM:
         """Cached old-(inactive-)map render: per-shard priority='old' view
         paging + old-selection render + depth-min ICI merge."""
         from ..core.loop_closure import OldMapRenderCache
+        if self.spill is not None:
+            # the old map a revisit needs may be paged out on some shard
+            vp = np.asarray(view_pose)[:3, 3]
+            changed = False
+            for d in range(self.ndev):
+                if self.spill[d].chunks:
+                    st = self.spill[d].ensure_resident(self._local_shard(d),
+                                                       vp)
+                    if st is not None:
+                        self._write_shard(d, st)
+                        changed = True
+            if changed:
+                self.map_version += 1
         if self._old_view_fn is None:
             self._old_view_fn = make_sharded_old_view(self.mcfg, self.mesh,
                                                       self.axis)
@@ -488,6 +555,9 @@ class ShardedSurfelSLAM:
         self.pose = jnp.asarray(new_current, jnp.float32)
         for i in range(min(len(new_poses), len(self.poses))):
             self.poses[i] = np.asarray(new_poses[i])
+        if self.spill is not None:
+            for mgr in self.spill:
+                mgr.on_rebase(arr)
         self.map_version += 1
 
     def trajectory(self) -> np.ndarray:

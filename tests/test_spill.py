@@ -165,3 +165,37 @@ def test_loop_closes_after_forced_spill():
     rel_gt = np.linalg.inv(gt[0]) @ gt[n - 1]
     err = np.linalg.norm(est[n - 1][:3, 3] - rel_gt[:3, 3])
     assert err < 1.5, err
+
+
+def test_sharded_spill_matches_single_chip():
+    """Per-shard host-RAM spill: the 2-device sharded driver under arena
+    pressure must spill, never drop, and keep reproducing the single-chip
+    (also spilling) trajectory."""
+    from dataclasses import replace as dc_replace
+    from semantic_suma_tpu.parallel.sharding import (ShardedSurfelSLAM,
+                                                     make_mesh)
+    cfg = loop_cfg()
+    cfg = cfg.replace(loop=dc_replace(cfg.loop, enabled=False))
+    n = 55
+    reader = SimulationReader(cfg.data, n_scans=n, world=rich_world(),
+                              radius=16.0, step=1.6, noise_sigma=0.03,
+                              seed=2)
+    mesh = make_mesh(2)
+    sl_sh = ShardedSurfelSLAM(cfg, mesh, enable_loop_closure=False)
+    sl_1 = SurfelSLAM(cfg, enable_loop_closure=False)
+
+    max_spilled = 0
+    drops = 0
+    for i in range(n):
+        s = reader.read(i)
+        st = sl_sh.process_scan(s.points, s.labels, s.probs, s.valid)
+        sl_1.process_scan(s.points, s.labels, s.probs, s.valid)
+        drops += st["creations-dropped"]
+        max_spilled = max(max_spilled, sl_sh.spilled_rows)
+
+    assert max_spilled > 0, "sharded arena pressure never forced a spill"
+    assert drops == 0
+    est_sh = sl_sh.trajectory()
+    est_1 = sl_1.trajectory()
+    err = np.linalg.norm(est_sh[-1][:3, 3] - est_1[-1][:3, 3])
+    assert err < 0.15, err
