@@ -86,15 +86,13 @@ def main():
     jax.block_until_ready(scans[-1].points)
 
     orig = dict(
-        disk=sm._disk_resolve, zb=sm.zbuffer_argmin_flagged,
-        finish=sm._update_finish, stage_a=sm._update_stage_a,
+        disk=sm._disk_resolve, finish=sm._update_finish, stage_a=sm._update_stage_a,
         slerp=sm._slerp, make_new=sm._make_new_surfels,
         runs=sm.zbuffer_runs, refresh=sm.maybe_refresh,
         project=sm._project_surfels)
 
     def restore():
         sm._disk_resolve = orig["disk"]
-        sm.zbuffer_argmin_flagged = orig["zb"]
         sm._update_finish = orig["finish"]
         sm._update_stage_a = orig["stage_a"]
         sm._slerp = orig["slerp"]
@@ -121,15 +119,6 @@ def main():
                         sem_prob=img[..., 8])
         sm._disk_resolve = no_resolve
         run_variant("no disk_resolve", cfg, scans)
-        restore()
-
-    if want("no_sort"):
-        def fake_zb(ids, depth, flags, num_cells, depth_bound=100.0):
-            nn = ids.shape[0]
-            w = (jnp.arange(num_cells, dtype=jnp.int32) * 31) % nn
-            return w, w, depth[w]
-        sm.zbuffer_argmin_flagged = fake_zb
-        run_variant("no zbuffer sort", cfg, scans)
         restore()
 
     if want("no_runs"):
@@ -222,56 +211,6 @@ def main():
         pipeline.preprocess_scan = fake_pre
         run_variant("no preprocess (const maps)", cfg, scans)
         pipeline.preprocess_scan = real_pre
-
-    if want("zb_chunked"):
-        def chunked_flagged(ids, depth, flags, num_cells, depth_bound=100.0):
-            n2 = ids.shape[0]
-            chunk = 1 << 17
-            bw = jnp.full((num_cells,), -1, jnp.int32)
-            bwd = jnp.full((num_cells,), jnp.inf, jnp.float32)
-            fw = jnp.full((num_cells,), -1, jnp.int32)
-            fwd = jnp.full((num_cells,), jnp.inf, jnp.float32)
-            for lo in range(0, n2, chunk):
-                hi = min(lo + chunk, n2)
-                wa, wf, wfd = orig["zb"](ids[lo:hi], depth[lo:hi],
-                                         flags[lo:hi], num_cells, depth_bound)
-                wad = jnp.where(wa >= 0, depth[lo:hi][jnp.maximum(wa, 0)],
-                                jnp.inf)
-                take = wad < bwd
-                bw = jnp.where(take, jnp.where(wa >= 0, wa + lo, -1), bw)
-                bwd = jnp.where(take, wad, bwd)
-                takef = wfd < fwd
-                fw = jnp.where(takef, jnp.where(wf >= 0, wf + lo, -1), fw)
-                fwd = jnp.where(takef, wfd, fwd)
-            return bw, fw, fwd
-        sm.zbuffer_argmin_flagged = chunked_flagged
-        run_variant("zbuffer chunked 2x131k", cfg, scans)
-        restore()
-
-    if want("zb_scatter"):
-        def scatter_flagged(ids, depth, flags, num_cells, depth_bound=100.0):
-            n2 = ids.shape[0]
-            idx_bits = max(1, (n2 - 1)).bit_length()
-            depth_bits = 31 - idx_bits
-            qmax = (1 << depth_bits) - 1
-            scale = (1 << depth_bits) / depth_bound
-            q = jnp.clip((depth * scale).astype(jnp.int32), 0, qmax)
-            packed = (q << idx_bits) | jnp.arange(n2, dtype=jnp.int32)
-            big = jnp.iinfo(jnp.int32).max
-            valid = (ids >= 0) & (ids < num_cells)
-            tgt = jnp.where(valid, ids, num_cells)
-            acc = jnp.full((num_cells + 1,), big, jnp.int32)
-            acc = acc.at[tgt].min(packed, mode="drop")[:num_cells]
-            wa = jnp.where(acc == big, -1, acc & ((1 << idx_bits) - 1))
-            tgt_f = jnp.where(valid & flags, ids, num_cells)
-            accf = jnp.full((num_cells + 1,), big, jnp.int32)
-            accf = accf.at[tgt_f].min(packed, mode="drop")[:num_cells]
-            wf = jnp.where(accf == big, -1, accf & ((1 << idx_bits) - 1))
-            wfd = jnp.where(wf >= 0, depth[jnp.maximum(wf, 0)], jnp.inf)
-            return wa, wf, wfd
-        sm.zbuffer_argmin_flagged = scatter_flagged
-        run_variant("zbuffer 2x scatter-min", cfg, scans)
-        restore()
 
     if want("no_put"):
         orig_put = sm.PackedSurfels.put

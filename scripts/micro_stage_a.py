@@ -52,8 +52,8 @@ def main():
     timeit("slerp [262k]",
            jax.jit(lambda a, b, ww: sm._slerp(a, b, ww)), v0, v1, w)
 
-    from semantic_suma_tpu.ops.zbuffer import (zbuffer_argmin,
-                                               zbuffer_argmin_flagged)
+    from semantic_suma_tpu.ops.zbuffer import zbuffer_argmin
+    from scripts.legacy_kernels import zbuffer_argmin_flagged
     timeit("zbuffer_argmin [262k]",
            jax.jit(lambda i_, d_: zbuffer_argmin(i_, d_, hw)), ids, depth)
     timeit("zbuffer_flagged [262k]",

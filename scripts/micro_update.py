@@ -12,7 +12,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
 
 from semantic_suma_tpu.config import MapConfig, SumaConfig
 from semantic_suma_tpu.core import surfel_map as sm
-from semantic_suma_tpu.ops.zbuffer import zbuffer_argmin_flagged
+from scripts.legacy_kernels import zbuffer_argmin_flagged
 from semantic_suma_tpu.utils import lie
 
 

@@ -13,7 +13,8 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".cache", "jax"))
 
-from semantic_suma_tpu.ops.zbuffer import zbuffer_argmin, zbuffer_argmin_flagged
+from semantic_suma_tpu.ops.zbuffer import zbuffer_argmin
+from scripts.legacy_kernels import zbuffer_argmin_flagged
 
 HW = 64 * 900
 

@@ -163,7 +163,10 @@ def cmd_run(args) -> int:
     evlog = None
     if args.stats_json:
         from .utils.eventlog import EventLog
-        evlog = EventLog("run", args.stats_json)
+        # mode="w": each run produces a self-contained JSONL file (append
+        # would mix records from a previous run at the same path, and
+        # consumers like scripts/make_results.py count records as scans)
+        evlog = EventLog("run", args.stats_json, mode="w")
 
     accum = None
     if args.save_cloud:

@@ -25,6 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +34,30 @@ from ..ops import icp as icp_ops
 from ..utils import lie
 from . import surfel_map as sm
 from .posegraph import Posegraph
+
+
+@jax.jit
+def _pack_gn(pose: jnp.ndarray, stats: icp_ops.IcpStats) -> jnp.ndarray:
+    """(pose, stats) -> one f32 [28] vector: pose [0:16], se3_log(pose)
+    [16:22], error/valid/inlier/outlier/inlier_residual/invalid [22:28].
+    One fetch instead of ~8 scalar round trips per verification step."""
+    return jnp.concatenate([
+        pose.astype(jnp.float32).reshape(-1),
+        lie.se3_log(pose.astype(jnp.float32)).reshape(-1),
+        jnp.stack([jnp.asarray(s).astype(jnp.float32).reshape(())
+                   for s in (stats.error, stats.valid, stats.inlier,
+                             stats.outlier, stats.inlier_residual,
+                             stats.invalid)])])
+
+
+def _fetch_gn(pose, stats):
+    """Fetch a GN/evaluate result with ONE transfer; returns
+    (pose np[4,4], log np[6], IcpStats of floats)."""
+    v = np.asarray(_pack_gn(pose, stats))
+    st = icp_ops.IcpStats(error=float(v[22]), valid=float(v[23]),
+                          inlier=float(v[24]), outlier=float(v[25]),
+                          inlier_residual=float(v[26]), invalid=float(v[27]))
+    return v[:16].reshape(4, 4).copy(), v[16:22].copy(), st
 
 
 @dataclass
@@ -164,7 +189,8 @@ class LoopCloser:
                                  slam.last_maps, comp, self.cfg.icp,
                                  self.cfg.model,
                                  semantic=self.cfg.semantic.enabled)
-        return stats
+        _, _, host_stats = _fetch_gn(jnp.eye(4, dtype=jnp.float32), stats)
+        return host_stats
 
     def _closest_index(self, slam, query_pose) -> int:
         """Nearest old pose within search radius with sufficient trajectory
@@ -221,11 +247,13 @@ class LoopCloser:
                 slam.last_maps, old_maps,
                 jnp.asarray(slam.last_increment), self.cfg.icp,
                 self.cfg.model, semantic=self.cfg.semantic.enabled)
-            vr, orr, _ = self._ratios(res.stats)
-            inc_old = np.asarray(res.pose)
-            inc_diff = float(np.linalg.norm(
-                np.asarray(lie.se3_log(jnp.asarray(increment, jnp.float32)))
-                - np.asarray(lie.se3_log(jnp.asarray(inc_old, jnp.float32)))))
+            inc_old, log_old, rstats = _fetch_gn(res.pose, res.stats)
+            vr, orr, _ = self._ratios(rstats)
+            inc_log = getattr(info, "inc_log", None)
+            if inc_log is None:  # plain StepInfo (tests/legacy callers)
+                inc_log = np.asarray(
+                    lie.se3_log(jnp.asarray(increment, jnp.float32)))
+            inc_diff = float(np.linalg.norm(inc_log - log_old))
             verified_this_scan = False
             if vr > cfg.min_valid_ratio and orr < cfg.max_outlier_ratio \
                     and inc_diff < cfg.max_increment_difference:
@@ -322,10 +350,11 @@ class LoopCloser:
         best = None
         for init in (O, rot_only, half):
             res = self._align_candidate(slam.last_maps, old_maps, init)
-            vr, orr, _ = self._ratios(res.stats)
+            rel, _, rstats = _fetch_gn(res.pose, res.stats)
+            vr, orr, _ = self._ratios(rstats)
             if not (vr > cfg.min_valid_ratio and orr < cfg.max_outlier_ratio):
                 continue
-            cand_pose = pose_prior @ np.asarray(res.pose)
+            cand_pose = pose_prior @ rel
             cstats = self._composed_residual(slam, cand_pose, pose)
             vr_old, or_old, res_old = self._ratios(cstats)
             rel_valid = vr_old / max(vr_new, 1e-12)

@@ -163,6 +163,70 @@ def odometry_run(state: SlamState, points: jnp.ndarray, labels: jnp.ndarray,
         body, state, (points, labels, probs, point_valid, conf_thresholds))
 
 
+def _pack_step_info(info: StepInfo, block_count) -> jnp.ndarray:
+    """Everything the host loop needs, as ONE f32 vector [50].
+
+    Each ``int(...)``/``float(...)``/``np.asarray(...)`` on a separate
+    device scalar is a full host<->device round trip (~2 ms each on the
+    remote-tunnel backend); the round-3 driver performed ~12 of them per
+    scan, which is how the CLI ran ~100x slower than bench.py's kernel
+    loop. Layout: pose [0:16], increment [16:32], se3_log(increment)
+    [32:38], then error, valid, inlier, outlier, inlier_residual, invalid,
+    iterations, track_loss, n_created, n_dropped, map_count, block_count.
+    All counters fit f32 exactly (< 2^24)."""
+    s = info.stats
+    scalars = [s.error, s.valid, s.inlier, s.outlier, s.inlier_residual,
+               s.invalid, info.iterations, info.track_loss, info.n_created,
+               info.n_dropped, info.map_count, block_count]
+    return jnp.concatenate([
+        info.pose.astype(jnp.float32).reshape(-1),
+        info.increment.astype(jnp.float32).reshape(-1),
+        lie.se3_log(info.increment.astype(jnp.float32)).reshape(-1),
+        jnp.stack([jnp.asarray(x).astype(jnp.float32).reshape(())
+                   for x in scalars])])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def odometry_step_fetch(state: SlamState, points, labels, probs, point_valid,
+                        conf_threshold, cfg: SumaConfig):
+    """odometry_step + host-fetch packing: returns (new_state, packed[50])
+    so the driver needs exactly ONE device->host fetch per scan."""
+    new_state, info = odometry_step(state, points, labels, probs,
+                                    point_valid, conf_threshold, cfg)
+    return new_state, _pack_step_info(info, new_state.map.block_count)
+
+
+class HostStepInfo(NamedTuple):
+    """StepInfo with numpy leaves (free host reads) + extras from the
+    packed fetch."""
+
+    pose: np.ndarray
+    increment: np.ndarray
+    inc_log: np.ndarray
+    stats: icp_ops.IcpStats
+    iterations: int
+    track_loss: bool
+    n_created: int
+    n_dropped: int
+    map_count: int
+    block_count: int
+
+
+def _unpack_step_info(vec: np.ndarray) -> HostStepInfo:
+    t = vec[32:]
+    return HostStepInfo(
+        pose=vec[:16].reshape(4, 4).copy(),
+        increment=vec[16:32].reshape(4, 4).copy(),
+        inc_log=t[:6].copy(),
+        stats=icp_ops.IcpStats(error=float(t[6]), valid=float(t[7]),
+                               inlier=float(t[8]), outlier=float(t[9]),
+                               inlier_residual=float(t[10]),
+                               invalid=float(t[11])),
+        iterations=int(t[12]), track_loss=bool(t[13] > 0),
+        n_created=int(t[14]), n_dropped=int(t[15]),
+        map_count=int(t[16]), block_count=int(t[17]))
+
+
 class SurfelSLAM:
     """Host-side driver: owns device state, pose log, statistics and (when
     enabled) the loop-closure state machine. The reference equivalent is the
@@ -287,9 +351,11 @@ class SurfelSLAM:
             point_valid = jnp.ones((n,), bool)
 
         ct = self.confidence_threshold()
-        self.state, info = odometry_step(
+        self.state, packed = odometry_step_fetch(
             self.state, jnp.asarray(points), jnp.asarray(labels),
             jnp.asarray(probs), jnp.asarray(point_valid), ct, self.cfg)
+        # the ONLY synchronous device->host transfer of the scan
+        info = _unpack_step_info(np.asarray(packed))
 
         # near-capacity policy: first page far blocks to host RAM (the
         # reference's SubmapCache), then fall back to stream compaction.
@@ -298,22 +364,27 @@ class SurfelSLAM:
         # and count what was lost (VERDICT r1: no silent creation drops).
         cap = self.cfg.map.surfel_capacity
         hw = self.cfg.data.height * self.cfg.data.width
-        n_dropped = int(info.n_dropped)
+        bs = self.cfg.map.effective_block_size
+        n_dropped = info.n_dropped
         self.creations_dropped += n_dropped
-        pose = np.asarray(info.pose)
+        pose = info.pose
+        free_rows = cap - info.block_count * bs
         spilled = False
         if self.spill is not None:
             st = self.spill.ensure_resident(self.state.map, pose[:3, 3])
             if st is not None:
                 self.state = self.state._replace(map=st)
                 self.map_version += 1
-            st = self.spill.maybe_spill(self.state.map, pose[:3, 3],
-                                        headroom_rows=2 * hw)
-            if st is not None:
-                self.state = self.state._replace(map=st)
-                self.map_version += 1
-                spilled = True  # maybe_spill compacts internally
-        if not spilled and (int(self.state.map.count) + hw > cap or n_dropped):
+            # the pressure predicate runs on the cached fetch; the actual
+            # paging (rare) may sync internally
+            if free_rows < 2 * hw or n_dropped:
+                st = self.spill.maybe_spill(self.state.map, pose[:3, 3],
+                                            headroom_rows=2 * hw)
+                if st is not None:
+                    self.state = self.state._replace(map=st)
+                    self.map_version += 1
+                    spilled = True  # maybe_spill compacts internally
+        if not spilled and (info.map_count + hw > cap or n_dropped):
             self.state = self.state._replace(
                 map=sm.compact(self.state.map, self.cfg.map))
             self.map_version += 1
@@ -325,15 +396,15 @@ class SurfelSLAM:
         self.track_loss_count += int(info.track_loss)
 
         stats = {
-            "icp-iterations": int(info.iterations),
-            "icp-error": float(info.stats.error),
+            "icp-iterations": info.iterations,
+            "icp-error": info.stats.error,
             "icp-inlier": int(info.stats.inlier),
             "icp-outlier": int(info.stats.outlier),
             "icp-valid": int(info.stats.valid),
             "icp-invalid": int(info.stats.invalid),
-            "track-loss": bool(info.track_loss),
-            "map-count": int(info.map_count),
-            "surfels-created": int(info.n_created),
+            "track-loss": info.track_loss,
+            "map-count": info.map_count,
+            "surfels-created": info.n_created,
             "creations-dropped": n_dropped,
         }
 

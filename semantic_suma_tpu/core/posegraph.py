@@ -236,10 +236,20 @@ class Posegraph:
     def to_device(self, pose_capacity: int | None = None) -> PoseGraphData:
         n = len(self._poses)
         e = len(self._edges)
-        cap_n = pose_capacity or max(1, n)
-        cap_e = self.edge_capacity
-        if e > cap_e:
-            raise ValueError(f"edge capacity {cap_e} exceeded ({e})")
+        # pad the pose axis to the next power of two: `optimize` is jitted
+        # over these shapes, so sizing to the exact count would recompile
+        # the whole GN+PCG program at every new trajectory length (minutes
+        # of recompilation on a KITTI-length run); pow2 padding bounds the
+        # number of distinct programs to log2(N) (the n_poses mask already
+        # ignores the pad rows)
+        cap_n = pose_capacity or max(16, 1 << max(1, n - 1).bit_length())
+        if e > self.edge_capacity:
+            raise ValueError(f"edge capacity {self.edge_capacity} "
+                             f"exceeded ({e})")
+        # pad edges the same way (also bounds per-call host->device traffic:
+        # a full 16384-edge buffer is ~5 MB of mostly-identity matrices)
+        cap_e = min(self.edge_capacity,
+                    max(64, 1 << max(1, e - 1).bit_length()))
         poses = np.tile(np.eye(4, dtype=np.float32), (cap_n, 1, 1))
         poses[:n] = np.stack(self._poses) if n else poses[:0]
         ei = np.zeros(cap_e, np.int32)

@@ -136,6 +136,7 @@ class SpillManager:
         self.spill_margin = spill_margin
         self.unspill_margin = unspill_margin
         self.chunks: List[SpillChunk] = []
+        self.chunks_paged_in = 0
         self._bs, self._nb, self._k = bs, nb, k
 
     @property
@@ -181,9 +182,19 @@ class SpillManager:
                          constant_values=nb)  # pads gather as invalid
             state, rf, ri = _extract_blocks(
                 state, jnp.asarray(ids, jnp.int32), cfg, self.chunk_blocks)
-            chunk = SpillChunk(np.asarray(rf), np.asarray(ri))
-            if chunk.n_valid:
-                self.chunks.append(chunk)
+            # host-side row compaction: keep only the blocks that contain
+            # valid rows, so re-insertion consumes exactly
+            # ceil(n_valid/bs) arena blocks instead of chunk_blocks whole
+            # blocks of mostly-pad rows (repeated spill/unspill cycles
+            # otherwise fragment the arena and trigger earlier pressure)
+            rf_np, ri_np = np.asarray(rf), np.asarray(ri)
+            v = ri_np[:, _VALID] > 0
+            nv = int(v.sum())
+            if nv:
+                order = np.argsort(~v, kind="stable")
+                keep = -(-nv // bs) * bs
+                self.chunks.append(SpillChunk(rf_np[order][:keep],
+                                              ri_np[order][:keep]))
             took += self.chunk_blocks
         return sm.compact(state, cfg)
 
@@ -219,5 +230,6 @@ class SpillManager:
             state = _insert_chunk(state, jnp.asarray(chunk.f),
                                   jnp.asarray(chunk.i), cfg)
             self.chunks.remove(chunk)
+            self.chunks_paged_in += 1
             changed = True
         return state if changed else None

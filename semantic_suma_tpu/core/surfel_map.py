@@ -49,7 +49,7 @@ from ..config import DataConfig, MapConfig
 from ..models.labels import is_movable
 from ..ops.icp import Maps
 from ..ops.projection import INV_PI, pixel_rays
-from ..ops.zbuffer import zbuffer_argmin, zbuffer_argmin_flagged, zbuffer_runs
+from ..ops.zbuffer import zbuffer_argmin, zbuffer_runs
 from ..utils import lie
 
 # float column layout

@@ -166,6 +166,13 @@ class SimulationReader:
         self.noise_sigma = noise_sigma
         self._key = jax.random.PRNGKey(seed)
         self._n = n_scans
+        # jit the raycast once (world/cfg/noise static via closure): the
+        # eager path dispatches ~6 ops per BOX per scan, which on a remote
+        # TPU backend costs a round trip each and dominated the CLI driver
+        # (part of the round-3 bench-vs-driver 100x gap)
+        self._render = jax.jit(
+            lambda pose, key: render_scan(self.world, pose, self.cfg,
+                                          self.noise_sigma, key))
 
     def count(self) -> int:
         return self._n
@@ -175,8 +182,7 @@ class SimulationReader:
 
     def read(self, idx: int) -> SimScan:
         key = jax.random.fold_in(self._key, idx)
-        return render_scan(self.world, self.poses[idx], self.cfg,
-                           self.noise_sigma, key)
+        return self._render(self.poses[idx], key)
 
     def gt_pose(self, idx: int) -> jnp.ndarray:
         return self.poses[idx]

@@ -52,20 +52,37 @@ def main(argv=None) -> int:
     from . import sharding as sh
 
     # ---- sharded SLAM odometry over the GLOBAL mesh ----------------------
+    # Deliberately tiny arena + tiny active radius so the host-RAM spill
+    # path (per-shard, process-local paging) is crossed in a 2-process run:
+    # the circular trajectory fills the per-device arenas in a few scans
+    # (pressure -> maybe_spill) and the second lap revisits the start
+    # (ensure_resident pages chunks back in).
+    from ..io.simulation import circular_trajectory
     height = 32 if 32 % ndev == 0 else ndev * 4
     d = DataConfig(width=128, height=height)
+    # arena (6144 rows/device) >> active view (4096 rows/device): only
+    # view-resident blocks are spill-exempt, so far blocks become eligible
     cfg = SumaConfig(data=d, model=d, icp=IcpConfig(max_iterations=3),
-                     map=MapConfig(surfel_capacity=ndev * 8192,
-                                   active_capacity=ndev * 8192, max_poses=32))
+                     map=MapConfig(surfel_capacity=ndev * 6144,
+                                   active_capacity=ndev * 4096, max_poses=64,
+                                   submap_dimension=1, submap_extent=2.0,
+                                   spill_margin=2.0, unspill_margin=12.0,
+                                   spill_chunk_blocks=1))
     mesh = sh.make_mesh()
     slam = sh.ShardedSurfelSLAM(cfg, mesh)
     world = default_world(seed=0)
-    pose = np.eye(4, dtype=np.float32)
-    for t in range(3):
-        scan = render_scan(world, jnp.asarray(pose), cfg.data)
+    n_scans = 24
+    gt = circular_trajectory(n_scans, radius=4.0, step=2.1)
+    max_spilled = 0
+    for t in range(n_scans):
+        scan = render_scan(world, jnp.asarray(gt[t]), cfg.data)
         info = slam.process_scan(scan.points, scan.labels, scan.probs,
                                  scan.valid)
+        max_spilled = max(max_spilled, slam.spilled_rows)
     assert info["map-count"] > 0, "sharded fusion created no surfels"
+    assert max_spilled > 0, "spill path was never crossed"
+    paged_back = sum(m.chunks_paged_in for m in slam.spill)
+    assert paged_back > 0, "no spilled chunk was ever paged back in"
 
     # ---- data-parallel segmenter train step over the global mesh ---------
     mesh2 = sh.make_mesh(axis="data")
@@ -84,7 +101,8 @@ def main(argv=None) -> int:
     assert np.isfinite(loss)
 
     print(f"MULTIHOST OK proc={pid} devices={ndev} "
-          f"surfels={info['map-count']} loss={loss:.3f}", flush=True)
+          f"surfels={info['map-count']} max_spilled={max_spilled} "
+          f"paged_back={paged_back} loss={loss:.3f}", flush=True)
     return 0
 
 

@@ -174,12 +174,20 @@ def make_sharded_step(cfg: SumaConfig, mesh: Mesh, axis: str = "map"):
             (ts + 1) - cfg.loop.delta_timestamp, semantic=semantic,
             axis=axis, create_mask=create_mask, max_creates=max_creates)
 
+        # worst-shard free rows, REPLICATED: every process derives the
+        # same pressure decision from it, so the collective compaction
+        # below is entered (or skipped) in lockstep across hosts — no
+        # host fetch of the P(axis)-sharded block_count is ever needed
+        # (a global fetch raises in multi-process runs)
+        free_rows = (mcfg.surfel_capacity
+                     - new_local.block_count * mcfg.effective_block_size)
         info = {
             "iterations": result.iterations,
             "track_loss": jumped,
             "n_created": jax.lax.psum(n_created, axis),
             "n_dropped": jax.lax.psum(n_dropped, axis),
             "map_count": jax.lax.psum(new_local.count, axis),
+            "min_free_rows": jax.lax.pmin(free_rows, axis),
             "error": result.stats.error,
             "inlier": result.stats.inlier,
             "outlier": result.stats.outlier,
@@ -194,8 +202,8 @@ def make_sharded_step(cfg: SumaConfig, mesh: Mesh, axis: str = "map"):
     maps_spec = jax.tree.map(lambda _: P(), _maps_struct(cfg))
     info_spec = {k: P() for k in
                  ("iterations", "track_loss", "n_created", "n_dropped",
-                  "map_count", "error", "inlier", "outlier", "valid",
-                  "invalid", "inlier_residual")}
+                  "map_count", "min_free_rows", "error", "inlier",
+                  "outlier", "valid", "invalid", "inlier_residual")}
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(map_spec, P(), P(), maps_spec, maps_spec,
@@ -331,6 +339,7 @@ class ShardedSurfelSLAM:
         self.mesh = mesh
         self.axis = axis
         self.ndev = mesh.devices.size
+        self._single_process = jax.process_count() == 1
         self.mcfg = shard_map_config(cfg, self.ndev)
         self._step = make_sharded_step(cfg, mesh, axis)
         self._compact = None
@@ -382,13 +391,46 @@ class ShardedSurfelSLAM:
     def spilled_rows(self) -> int:
         return sum(m.spilled_rows for m in self.spill) if self.spill else 0
 
+    # -- process-local shard access (multi-host safe) ----------------------
+    # In a multi-process run each process addresses only its own devices, so
+    # host paging must never touch the global [D]-sharded arrays directly
+    # (``a[d]`` / ``np.asarray`` on them raises "spans non-addressable
+    # devices" — the round-3 regression). All reads go through
+    # ``addressable_shards`` and writes rebuild the global array from
+    # per-device pieces; each process pages only the shards it owns.
+
+    def _my_shards(self) -> "list[int]":
+        """Global leading-axis indices of the shards this process owns."""
+        out = []
+        for shd in self.map_sh.block_count.addressable_shards:
+            s = shd.index[0]
+            out.append(0 if s.start is None else int(s.start))
+        return sorted(out)
+
     def _local_shard(self, d: int) -> sm.MapState:
-        """Shard d's MapState as unsharded arrays (rare-path host paging)."""
-        return jax.tree.map(lambda a: a[d], self.map_sh)
+        """Shard d's MapState as single-device arrays (rare-path host
+        paging). ``d`` must be addressable by this process."""
+        def get(a):
+            for shd in a.addressable_shards:
+                s = shd.index[0]
+                if (0 if s.start is None else int(s.start)) == d:
+                    return jnp.asarray(shd.data)[0]
+            raise IndexError(f"shard {d} is not addressable by this process")
+        return jax.tree.map(get, self.map_sh)
 
     def _write_shard(self, d: int, st: sm.MapState) -> None:
-        self.map_sh = jax.tree.map(lambda a, l: a.at[d].set(l),
-                                   self.map_sh, st)
+        def put(a, l):
+            arrs = []
+            for shd in a.addressable_shards:
+                s = shd.index[0]
+                if (0 if s.start is None else int(s.start)) == d:
+                    arrs.append(jax.device_put(jnp.asarray(l)[None],
+                                               shd.device))
+                else:
+                    arrs.append(shd.data)
+            return jax.make_array_from_single_device_arrays(
+                a.shape, a.sharding, arrs)
+        self.map_sh = jax.tree.map(put, self.map_sh, st)
 
     def confidence_threshold(self) -> float:
         c = self.cfg.map
@@ -417,7 +459,24 @@ class ShardedSurfelSLAM:
                 jnp.asarray(labels), jnp.asarray(probs),
                 jnp.asarray(point_valid), ct)
 
-        pose = np.asarray(self.pose)
+        # ONE device->host fetch for everything the host loop reads
+        # (pose, increment+its log for the loop closer, all scalars)
+        vals = (info["error"], info["valid"], info["inlier"],
+                info["outlier"], info["inlier_residual"], info["invalid"],
+                info["iterations"], info["track_loss"], info["n_created"],
+                info["n_dropped"], info["map_count"], info["min_free_rows"])
+        vec = np.asarray(jnp.concatenate(
+            [self.pose.astype(jnp.float32).reshape(-1),
+             self.last_increment.astype(jnp.float32).reshape(-1),
+             lie.se3_log(self.last_increment.astype(jnp.float32)
+                         ).reshape(-1),
+             jnp.stack([jnp.asarray(v).astype(jnp.float32).reshape(())
+                        for v in vals])]))
+        pose = vec[:16].reshape(4, 4).copy()
+        increment_np = vec[16:32].reshape(4, 4).copy()
+        inc_log_np = vec[32:38].copy()
+        t = vec[38:]
+        min_free_rows = int(t[11])
         self.poses.append(pose)
         if len(self.poses) > 1:
             self.trajectory_distances.append(
@@ -425,41 +484,45 @@ class ShardedSurfelSLAM:
                 + float(np.linalg.norm(self.poses[-2][:3, 3] - pose[:3, 3])))
 
         stats = {
-            "icp-iterations": int(info["iterations"]),
-            "icp-error": float(info["error"]),
-            "track-loss": bool(info["track_loss"]),
-            "map-count": int(info["map_count"]),
-            "surfels-created": int(info["n_created"]),
-            "creations-dropped": int(info["n_dropped"]),
+            "icp-iterations": int(t[6]),
+            "icp-error": float(t[0]),
+            "track-loss": bool(t[7] > 0),
+            "map-count": int(t[10]),
+            "surfels-created": int(t[8]),
+            "creations-dropped": int(t[9]),
         }
         # near-capacity / drops: page far blocks to host RAM per shard,
         # then compact every shard (reclaims dead rows). Revisits page
-        # spilled chunks back in whenever any manager holds chunks near
-        # the vehicle (host-side centroid check — free until spill).
-        hw = self.cfg.data.height * self.cfg.data.width
+        # spilled chunks back in whenever any LOCAL manager holds chunks
+        # near the vehicle (host-side centroid check — free until spill).
+        # Spill paging is strictly process-local (each process pages only
+        # its addressable shards, no collectives), so processes may page at
+        # different times; map_version — which gates the COLLECTIVE old-map
+        # re-render — is only bumped on replicated events (pressure
+        # compaction below, rebase) so every process enters collectives in
+        # lockstep. In single-process runs paging bumps it too (fresher
+        # old-map renders, no lockstep concern).
         pos3 = pose[:3, 3]
         if self.spill is not None:
             changed = False
-            for d in range(self.ndev):
+            for d in self._my_shards():
                 if self.spill[d].chunks:
                     st = self.spill[d].ensure_resident(
                         self._local_shard(d), pos3)
                     if st is not None:
                         self._write_shard(d, st)
                         changed = True
-            if changed:
+            if changed and self._single_process:
                 self.map_version += 1
-        # per-shard pressure from the REAL block counts (one tiny [D]
-        # transfer — the single-chip free-rows policy applied shard-wise)
-        bs = self.mcfg.effective_block_size
-        blocks = np.asarray(self.map_sh.block_count)
-        free_rows = self.mcfg.surfel_capacity - blocks * bs
+        # worst-shard pressure comes REPLICATED out of the jitted step
+        # (lax.pmin) — no host fetch of sharded state, and every process
+        # takes the same branch
         headroom = 2 * self.mcfg.min_fresh_rows
-        pressure = bool((free_rows < headroom).any()) \
+        pressure = min_free_rows < headroom \
             or bool(stats["creations-dropped"])
         if pressure:
             if self.spill is not None:
-                for d in range(self.ndev):
+                for d in self._my_shards():
                     st = self.spill[d].maybe_spill(
                         self._local_shard(d), pos3, headroom_rows=headroom)
                     if st is not None:
@@ -472,18 +535,17 @@ class ShardedSurfelSLAM:
             self.map_version += 1
 
         if self._loop is not None:
-            from ..core.pipeline import StepInfo
+            from ..core.pipeline import HostStepInfo
             from ..ops.icp import IcpStats
-            shim = StepInfo(
-                pose=self.pose, increment=self.last_increment,
+            shim = HostStepInfo(
+                pose=pose, increment=increment_np, inc_log=inc_log_np,
                 stats=IcpStats(
-                    error=info["error"], valid=info["valid"],
-                    inlier=info["inlier"], outlier=info["outlier"],
-                    inlier_residual=info["inlier_residual"],
-                    invalid=info["invalid"]),
-                iterations=info["iterations"],
-                track_loss=info["track_loss"], n_created=info["n_created"],
-                n_dropped=info["n_dropped"], map_count=info["map_count"])
+                    error=float(t[0]), valid=float(t[1]),
+                    inlier=float(t[2]), outlier=float(t[3]),
+                    inlier_residual=float(t[4]), invalid=float(t[5])),
+                iterations=int(t[6]), track_loss=bool(t[7] > 0),
+                n_created=int(t[8]), n_dropped=int(t[9]),
+                map_count=int(t[10]), block_count=0)
             stats.update(self._loop.on_scan(self, shim))
 
         self.statistics.append(stats)
@@ -498,17 +560,19 @@ class ShardedSurfelSLAM:
         paging + old-selection render + depth-min ICI merge."""
         from ..core.loop_closure import OldMapRenderCache
         if self.spill is not None:
-            # the old map a revisit needs may be paged out on some shard
+            # the old map a revisit needs may be paged out on some LOCAL
+            # shard (process-local paging; see process_scan for why the
+            # version bump is single-process only)
             vp = np.asarray(view_pose)[:3, 3]
             changed = False
-            for d in range(self.ndev):
+            for d in self._my_shards():
                 if self.spill[d].chunks:
                     st = self.spill[d].ensure_resident(self._local_shard(d),
                                                        vp)
                     if st is not None:
                         self._write_shard(d, st)
                         changed = True
-            if changed:
+            if changed and self._single_process:
                 self.map_version += 1
         if self._old_view_fn is None:
             self._old_view_fn = make_sharded_old_view(self.mcfg, self.mesh,

@@ -34,6 +34,11 @@ def save_checkpoint(slam, path: str, compact_map: bool = True) -> None:
     """Serialize a SurfelSLAM session (device + host state)."""
     from ..core import surfel_map as sm
 
+    if not hasattr(slam, "state"):
+        raise ValueError(
+            "only single-chip SurfelSLAM sessions are checkpointable "
+            f"(got {type(slam).__name__}; sharded sessions keep per-shard "
+            "state that this archive format does not cover)")
     state = slam.state
     if compact_map:
         state = state._replace(map=sm.compact(state.map, slam.cfg.map))
@@ -122,4 +127,11 @@ def load_checkpoint(path: str, cfg, enable_loop_closure: Optional[bool] = None):
             slam.spill.chunks.append(SpillChunk(data[f"__spill_f_{n}__"],
                                                 data[f"__spill_i_{n}__"]))
             n += 1
+        # SpillChunk.__init__ derives its centroid from the cached _WPOS
+        # columns, which are stale if the saved session had rebased poses
+        # after spilling (on_rebase updates only the live centroid, not the
+        # serialized world cache) — re-derive every centroid from the
+        # restored pose table so paging decisions stay correct after resume
+        if slam.spill.chunks:
+            slam.spill.on_rebase(np.asarray(slam.state.map.poses))
     return slam

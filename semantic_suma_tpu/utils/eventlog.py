@@ -14,11 +14,12 @@ from typing import Any, Dict, Optional
 
 
 class EventLog:
-    def __init__(self, name: str, path: Optional[str] = None):
+    def __init__(self, name: str, path: Optional[str] = None,
+                 mode: str = "a"):
         self.name = name
         self.path = path
         self.events: list[dict] = []
-        self._fh = open(path, "a") if path else None
+        self._fh = open(path, mode) if path else None
 
     def log(self, event: str, **fields: Any) -> None:
         rec = {"t": time.time(), "log": self.name, "event": event, **fields}
