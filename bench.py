@@ -141,6 +141,63 @@ def main():
           f"BW-bound SoL (sort/gather latency-bound; MFU n/a — FLOPs "
           f"negligible)", file=sys.stderr)
 
+    # ---- product-driver rows (VERDICT r3 #2/#8): the SAME workload through
+    # SurfelSLAM.process_scan (per-scan packed fetch, spill checks, stats),
+    # once odometry-only and once with loop closure enabled on a revisit
+    # trajectory whose lap closes inside the timed window. The loop config
+    # shrinks the KITTI-scale gates exactly like scripts/make_results.py.
+    from dataclasses import replace as _rp
+    from semantic_suma_tpu.core.pipeline import SurfelSLAM
+
+    def drive(slam, scan_list):
+        for i in range(n_warmup):
+            slam.process_scan_async(scan_list[i].points, scan_list[i].labels,
+                                    scan_list[i].probs, scan_list[i].valid)
+        slam.flush()
+        t0 = time.perf_counter()
+        for i in range(n_warmup, len(scan_list)):
+            slam.process_scan_async(scan_list[i].points, scan_list[i].labels,
+                                    scan_list[i].probs, scan_list[i].valid)
+        slam.flush()
+        return (len(scan_list) - n_warmup) / (time.perf_counter() - t0)
+
+    driver_sps = drive(SurfelSLAM(cfg, enable_loop_closure=False), scans)
+    print(f"# driver (SurfelSLAM, loops off): {driver_sps:.2f} scans/s",
+          file=sys.stderr)
+
+    # loop row: two laps of a closing circle. Lap 1 warms up AND traces
+    # the loop-phase programs (fused verify/search, pose-graph tiers);
+    # the timed lap 2 is a continuous-revisit regime — every scan runs
+    # verification + frequent graph optimizations + rebases, the WORST
+    # case for loop overhead (KITTI-like sequences mostly cruise).
+    loop_cfg = cfg.replace(loop=_rp(
+        cfg.loop, min_trajectory_distance=60.0, delta_timestamp=20,
+        search_distance=20.0, min_verifications=3, outlier_threshold=6.0))
+    n_lap = 64  # one lap at radius 18, step 1.8
+    gt2 = circular_trajectory(n_lap + n_timed, radius=18.0, step=1.8)
+    scans2 = [jax.tree.map(lambda a: a.copy(), gen(gt2[i]))
+              for i in range(n_lap + n_timed)]
+    jax.block_until_ready(scans2[-1].points)
+    loop_slam = SurfelSLAM(loop_cfg)
+    for i in range(n_lap):
+        loop_slam.process_scan_async(
+            scans2[i].points, scans2[i].labels, scans2[i].probs,
+            scans2[i].valid)
+    loop_slam.flush()
+    t0 = time.perf_counter()
+    for i in range(n_lap, n_lap + n_timed):
+        loop_slam.process_scan_async(
+            scans2[i].points, scans2[i].labels, scans2[i].probs,
+            scans2[i].valid)
+    loop_slam.flush()
+    loop_sps = n_timed / (time.perf_counter() - t0)
+    n_loops = loop_slam._loop.num_loop_closures
+    overhead = 100.0 * (1.0 - loop_sps / max(driver_sps, 1e-9))
+    print(f"# driver (SurfelSLAM, loops ON, continuous-revisit lap): "
+          f"{loop_sps:.2f} scans/s, {n_loops} loop closures, "
+          f"{loop_slam._loop.num_optimizations} optimizations, overhead "
+          f"{overhead:.0f}% vs loops-off driver", file=sys.stderr)
+
     scans_per_sec = n_timed / dt
     baseline = 10.0  # reference real-time rate (10 Hz KITTI sensor)
     result = {
@@ -148,6 +205,10 @@ def main():
         "value": round(scans_per_sec, 2),
         "unit": "scans/s (64x900 frame-to-model ICP + semantic fusion, 1 chip)",
         "vs_baseline": round(scans_per_sec / baseline, 2),
+        "driver_scans_per_sec": round(driver_sps, 2),
+        "loop_driver_scans_per_sec": round(loop_sps, 2),
+        "loop_closures": int(n_loops),
+        "loop_overhead_pct": round(overhead, 1),
     }
     print(json.dumps(result))
     # extra context for humans, not parsed by the driver

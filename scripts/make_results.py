@@ -69,6 +69,11 @@ def last_json(stdout):
 
 
 def scans_per_sec(stdout):
+    """Prefer the steady-state figure (excludes one-time jit tracing /
+    compile-cache loading); fall back to the whole-run number."""
+    for line in stdout.splitlines():
+        if "steady-state" in line and "scans/s]" in line:
+            return float(line.split("steady-state")[-1].split(" scans/s")[0])
     for line in stdout.splitlines():
         if "scans/s)" in line:
             return float(line.split("(")[-1].split(" ")[0])
@@ -147,6 +152,44 @@ def main():
                           "--no-loop-closure", "--eval"])
         rows["segmenter"] = {"scans": n_odo, "val_miou": round(miou, 3),
                              **last_json(out)}
+
+        # 5. sharded driver accuracy (8-virtual-device CPU mesh): the same
+        # odometry workload through ShardedSurfelSLAM so sharded-vs-single
+        # drift is a tracked number per round (VERDICT r3 #6)
+        n_sh = 40 if args.quick else 80
+        code = (
+            "import os\n"
+            "os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS','') + "
+            "' --xla_force_host_platform_device_count=8').strip()\n"
+            "import jax, json\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import numpy as np, jax.numpy as jnp\n"
+            "from semantic_suma_tpu.config import SumaConfig, MapConfig\n"
+            "from dataclasses import replace\n"
+            "from semantic_suma_tpu.parallel import sharding as sh\n"
+            "from semantic_suma_tpu.io.simulation import SimulationReader\n"
+            "from semantic_suma_tpu.utils import metrics\n"
+            "cfg = SumaConfig()\n"
+            "cfg = cfg.replace(map=replace(cfg.map, surfel_capacity=1<<19, "
+            "active_capacity=1<<17, max_poses=256))\n"
+            f"n = {n_sh}\n"
+            "reader = SimulationReader(cfg.data, n_scans=n, radius=18.0, "
+            "step=1.5)\n"
+            "mesh = sh.make_mesh(8)\n"
+            "slam = sh.ShardedSurfelSLAM(cfg, mesh, "
+            "enable_loop_closure=False)\n"
+            "for i in range(n):\n"
+            "    s = reader.read(i)\n"
+            "    slam.process_scan(s.points, s.labels, s.probs, s.valid)\n"
+            "gt = np.asarray(reader.poses)\n"
+            "print(json.dumps(metrics.evaluate(gt, slam.trajectory())))\n")
+        import subprocess as sp
+        pr = sp.run([sys.executable, "-c", code], capture_output=True,
+                    text=True, cwd=REPO, timeout=3600)
+        if pr.returncode != 0:
+            print(pr.stdout, pr.stderr, file=sys.stderr)
+            raise RuntimeError("sharded accuracy run failed")
+        rows["sharded-8dev"] = {"scans": n_sh, **last_json(pr.stdout)}
 
     if args.cpu:
         backend = "cpu"

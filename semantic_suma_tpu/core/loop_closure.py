@@ -50,6 +50,9 @@ def _pack_gn(pose: jnp.ndarray, stats: icp_ops.IcpStats) -> jnp.ndarray:
                              stats.invalid)])])
 
 
+_compose_jit = jax.jit(sm.compose_views)
+
+
 def _fetch_gn(pose, stats):
     """Fetch a GN/evaluate result with ONE transfer; returns
     (pose np[4,4], log np[6], IcpStats of floats)."""
@@ -96,8 +99,10 @@ class OldMapRenderCache:
         self._thr = -1
         self._last_render: Optional[tuple] = None
 
-    def render(self, view_pose, timestamp: int, conf_threshold: float,
-               map_version: int):
+    def view_for(self, view_pose, timestamp: int, map_version: int):
+        """Device view (active subset) covering ``view_pose``, rebuilt on
+        staleness; returns (view, ts_threshold). Lets fused verification
+        programs render from the cached view without a host round trip."""
         pose = np.asarray(view_pose, np.float32)
         thr = timestamp - self.delta_timestamp
         stale = (self._view is None
@@ -113,12 +118,18 @@ class OldMapRenderCache:
             self._version = map_version
             self._thr = thr
             self._last_render = None
+        return self._view, self._thr
+
+    def render(self, view_pose, timestamp: int, conf_threshold: float,
+               map_version: int):
+        pose = np.asarray(view_pose, np.float32)
+        view, thr = self.view_for(view_pose, timestamp, map_version)
         if self._last_render is not None and \
                 np.array_equal(self._last_render[0], pose):
             return self._last_render[1]
-        maps = self._render(self._view, jnp.asarray(pose),
+        maps = self._render(view, jnp.asarray(pose),
                             jnp.asarray(conf_threshold, jnp.float32),
-                            jnp.asarray(self._thr, jnp.int32))
+                            jnp.asarray(thr, jnp.int32))
         self._last_render = (pose.copy(), maps)
         return maps
 
@@ -136,6 +147,18 @@ class LoopCloser:
     last_pose_old: Optional[np.ndarray] = None
     num_optimizations: int = 0
     num_loop_closures: int = 0
+    # set when a device-dependent phase was deferred because scans were in
+    # flight; the driver must drain the pipeline and run synchronously
+    sync_request: bool = False
+
+    @property
+    def sync_needed(self) -> bool:
+        """True when the next scan's on_scan may touch device state that
+        must be exactly current (live verification chain, pending graph
+        optimization, or a deferred candidate search) — the pipelined
+        driver drains all in-flight scans first and runs synchronously."""
+        return bool(self.unverified or self.already_verified
+                    or self.loop_count > 0 or self.sync_request)
 
     def __post_init__(self):
         self.posegraph.set_initial(0, np.eye(4))
@@ -143,6 +166,111 @@ class LoopCloser:
         info[:3] *= self.cfg.odometry_info_translation ** -2 \
             if self.cfg.odometry_info_translation else 1.0
         self._info = info
+        self._fused = None
+        self._pre = None
+
+    # ------------------------------------------------------------------
+    def pre_dispatch(self, slam) -> None:
+        """Speculatively dispatch the fused phase-A verification right
+        after the odometry step's dispatch (before its fetch), so the
+        verify result's device->host transfer overlaps the step's own —
+        one link round trip per verifying scan instead of two. All inputs
+        are device references of the just-dispatched scan (identical to
+        what phase A would use at drain time); the host gates are applied
+        in on_scan when both results have arrived."""
+        self._pre = None
+        if not (self.unverified or self.already_verified):
+            return
+        if not getattr(slam, "supports_fused_verify", False):
+            return
+        if self._fused is None:
+            self._build_fused()
+        view, thr = slam.old_view(self.pose_old)
+        vec, comp = self._fused[0](
+            view, jnp.asarray(thr, jnp.int32),
+            jnp.asarray(self.pose_old, jnp.float32),
+            slam.last_maps, slam.model_maps,
+            jnp.asarray(slam.last_increment),
+            jnp.asarray(slam.confidence_threshold(), jnp.float32))
+        try:
+            vec.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        self._pre = (vec, comp)
+
+    # ------------------------------------------------------------------
+    def _build_fused(self):
+        """One-dispatch/one-fetch jitted programs for verification (phase
+        A) and candidate search (phase C). The unfused path issues ~3-6
+        separate device syncs per verifying/searching scan (~33 ms each on
+        a remote backend); these fuse the old-map render, the (pyramid)
+        GN alignment, the composed-view re-render and its residual
+        evaluation into ONE program returning one packed vector."""
+        cfg = self.cfg
+        icp_cfg, model_cfg, mcfg = cfg.icp, cfg.model, cfg.map
+        sem = cfg.semantic.enabled
+        maxd = cfg.loop.max_loop_closure_distance
+        levels = cfg.loop.search_levels
+        eye = jnp.eye(4, dtype=jnp.float32)
+
+        def stats_vec(st):
+            return jnp.stack([jnp.asarray(x).astype(jnp.float32).reshape(())
+                              for x in (st.error, st.valid, st.inlier,
+                                        st.outlier, st.inlier_residual,
+                                        st.invalid)])
+
+        def render_old(view, pose, conf, thr):
+            return sm.render_view(view, pose, model_cfg, mcfg, conf, thr,
+                                  "old")
+
+        def align(data_maps, old_maps, init):
+            if levels > 1:
+                from ..ops.pyramid import gauss_newton_pyramid
+                return gauss_newton_pyramid(
+                    data_maps, old_maps, init, icp_cfg, model_cfg,
+                    levels=levels, semantic=sem)
+            return icp_ops.gauss_newton(data_maps, old_maps, init, icp_cfg,
+                                        model_cfg, semantic=sem)
+
+        @jax.jit
+        def verify(view, thr, last_pose_old, data_maps, model_maps, t0,
+                   conf):
+            old_maps = render_old(view, last_pose_old, conf, thr)
+            res = icp_ops.gauss_newton(data_maps, old_maps, t0, icp_cfg,
+                                       model_cfg, semantic=sem)
+            inc_old = res.pose.astype(jnp.float32)
+            pose_old_new = last_pose_old @ inc_old
+            old2 = render_old(view, pose_old_new, conf, thr)
+            comp = sm.compose_views(old2, model_maps, maxd)
+            cstats = icp_ops.evaluate(eye, data_maps, comp, icp_cfg,
+                                      model_cfg, semantic=sem)
+            vec = jnp.concatenate([
+                inc_old.reshape(-1),                      # 0:16
+                lie.se3_log(inc_old).reshape(-1),         # 16:22
+                stats_vec(res.stats),                     # 22:28
+                stats_vec(cstats),                        # 28:34
+                pose_old_new.reshape(-1)])                # 34:50
+            return vec, comp
+
+        @jax.jit
+        def search(view, thr, pose_prior, inits, data_maps, model_maps,
+                   conf):
+            old_maps = render_old(view, pose_prior, conf, thr)
+            rows = []
+            for k in range(3):
+                res = align(data_maps, old_maps, inits[k])
+                cand_pose = pose_prior @ res.pose.astype(jnp.float32)
+                old2 = render_old(view, cand_pose, conf, thr)
+                comp = sm.compose_views(old2, model_maps, maxd)
+                cstats = icp_ops.evaluate(eye, data_maps, comp, icp_cfg,
+                                          model_cfg, semantic=sem)
+                rows.append(jnp.concatenate([
+                    cand_pose.reshape(-1),                # 0:16
+                    stats_vec(res.stats),                 # 16:22
+                    stats_vec(cstats)]))                  # 22:28
+            return jnp.stack(rows)                        # [3, 28]
+
+        self._fused = (verify, search)
 
     # ------------------------------------------------------------------
     def _ratios(self, stats: icp_ops.IcpStats):
@@ -183,8 +311,8 @@ class LoopCloser:
         space exactly like render_compose.frag:26-48. ``pose_new`` is the
         current pose by construction (SurfelMapping.cpp:597-607)."""
         old_maps = self._render_old(slam, pose_old)
-        comp = sm.compose_views(old_maps, slam.model_maps,
-                                self.cfg.loop.max_loop_closure_distance)
+        comp = _compose_jit(old_maps, slam.model_maps,
+                            self.cfg.loop.max_loop_closure_distance)
         stats = icp_ops.evaluate(jnp.eye(4, dtype=jnp.float32),
                                  slam.last_maps, comp, self.cfg.icp,
                                  self.cfg.model,
@@ -211,13 +339,26 @@ class LoopCloser:
         return j if d[j] < self.cfg.loop.search_distance else -1
 
     # ------------------------------------------------------------------
-    def on_scan(self, slam, info) -> dict:
-        """Called after each odometry step with the step's StepInfo."""
+    def on_scan(self, slam, info, lag: int = 0) -> dict:
+        """Called after each odometry step with the step's StepInfo.
+
+        ``lag`` is the number of scans dispatched AFTER this one that are
+        still in flight (pipelined drivers). Host-only bookkeeping (graph
+        edges, counters) always runs; the device-dependent phases
+        (verification ICP, candidate search, graph rebase) require the
+        device state to be exactly this scan's, so with ``lag > 0`` they
+        are deferred and ``sync_request`` is raised — the driver drains
+        the pipeline and re-enters synchronously on the next scan.
+        Deferring a candidate search is harmless (search repeats every
+        idle scan); verification chains never run with lag because
+        ``sync_needed`` keeps the driver synchronous while they are live.
+        """
         import time as _time
         t_loop0 = _time.perf_counter()
         cfg = self.cfg.loop
         ts = slam.timestamp - 1  # index of the scan just processed
         stats: dict = {}
+        deferred = False
 
         increment = np.asarray(info.increment)
         pose = np.asarray(info.pose)
@@ -241,24 +382,60 @@ class LoopCloser:
         vr_new, or_new, res_new = self._ratios(info.stats)
 
         # ---- phase A: verify pending candidates --------------------------
-        if self.unverified or self.already_verified:
-            old_maps = self._render_old(slam, self.last_pose_old)
-            res = icp_ops.gauss_newton(
-                slam.last_maps, old_maps,
-                jnp.asarray(slam.last_increment), self.cfg.icp,
-                self.cfg.model, semantic=self.cfg.semantic.enabled)
-            inc_old, log_old, rstats = _fetch_gn(res.pose, res.stats)
-            vr, orr, _ = self._ratios(rstats)
+        self._last_comp = None
+        if (self.unverified or self.already_verified) and lag > 0:
+            deferred = True  # driver recovers via sync_needed next scan
+        elif self.unverified or self.already_verified:
             inc_log = getattr(info, "inc_log", None)
             if inc_log is None:  # plain StepInfo (tests/legacy callers)
                 inc_log = np.asarray(
                     lie.se3_log(jnp.asarray(increment, jnp.float32)))
+            if getattr(slam, "supports_fused_verify", False):
+                # fused path: old-map render + GN + composed re-render +
+                # residual evaluation in one program, ONE fetch — already
+                # in flight when the driver speculatively pre-dispatched
+                pre, self._pre = self._pre, None
+                if pre is not None:
+                    vec, comp = pre
+                else:
+                    if self._fused is None:
+                        self._build_fused()
+                    view, thr = slam.old_view(self.last_pose_old)
+                    vec, comp = self._fused[0](
+                        view, jnp.asarray(thr, jnp.int32),
+                        jnp.asarray(self.last_pose_old, jnp.float32),
+                        slam.last_maps, slam.model_maps,
+                        jnp.asarray(slam.last_increment),
+                        jnp.asarray(slam.confidence_threshold(),
+                                    jnp.float32))
+                v = np.asarray(vec)
+                inc_old = v[:16].reshape(4, 4)
+                log_old = v[16:22]
+                rstats = icp_ops.IcpStats(*[float(x) for x in v[22:28]])
+                cstats = icp_ops.IcpStats(*[float(x) for x in v[28:34]])
+                pose_old_new = v[34:50].reshape(4, 4)
+            else:
+                old_maps = self._render_old(slam, self.last_pose_old)
+                res = icp_ops.gauss_newton(
+                    slam.last_maps, old_maps,
+                    jnp.asarray(slam.last_increment), self.cfg.icp,
+                    self.cfg.model, semantic=self.cfg.semantic.enabled)
+                inc_old, log_old, rstats = _fetch_gn(res.pose, res.stats)
+                pose_old_new = cstats = comp = None
+            vr, orr, _ = self._ratios(rstats)
             inc_diff = float(np.linalg.norm(inc_log - log_old))
             verified_this_scan = False
             if vr > cfg.min_valid_ratio and orr < cfg.max_outlier_ratio \
                     and inc_diff < cfg.max_increment_difference:
-                pose_old_new = self.last_pose_old @ inc_old
-                cstats = self._composed_residual(slam, pose_old_new, pose)
+                if pose_old_new is None:
+                    pose_old_new = self.last_pose_old @ inc_old
+                    cstats = self._composed_residual(slam, pose_old_new,
+                                                     pose)
+                else:
+                    # composed view already rendered at pose_old_new by
+                    # the fused program — reusable for composed tracking
+                    self._last_comp = comp
+                    self._last_comp_pose = pose_old_new
                 _, _, res_old = self._ratios(cstats)
                 rel_error = res_old / max(res_new, 1e-12)
                 self.pose_old = pose_old_new
@@ -297,14 +474,26 @@ class LoopCloser:
         # ---- optimize (synchronous) --------------------------------------
         if (self.loop_count > 6) or \
                 (self.loop_count > 0 and self.time_without_loop > 3):
-            self._optimize_and_rebase(slam)
+            if lag > 0:
+                deferred = True
+            else:
+                self._optimize_and_rebase(slam)
 
         # ---- phase C: search a new candidate -----------------------------
         if self.time_without_loop > 3:
             self.unverified.clear()
             self.already_verified = False
-            found = self._search_candidate(slam, info, vr_new, or_new, res_new)
-            stats["loop-candidate-found"] = found
+            if lag > 0:
+                # the search ICP needs THIS scan's data maps on device;
+                # with scans in flight, only check the (host-side) trigger
+                # and ask the driver to drain + re-enter synchronously —
+                # the search repeats next scan at lag 0
+                if self._closest_index(slam, info.pose) >= 0:
+                    deferred = True
+            else:
+                found = self._search_candidate(slam, info, vr_new, or_new,
+                                               res_new)
+                stats["loop-candidate-found"] = found
 
         # ---- composed old/new tracking while a candidate is live ---------
         # The reference renders the model view for the NEXT scan's ICP as
@@ -313,10 +502,18 @@ class LoopCloser:
         # + render_compose.frag:26-48), so odometry keeps tracking against
         # the old map through the verification window.
         if cfg.compose_rendering and (self.unverified or self.already_verified):
-            old_maps = self._render_old(slam, self.pose_old)
-            slam.set_model_maps(sm.compose_views(
-                old_maps, slam.model_maps, cfg.max_loop_closure_distance))
+            if self._last_comp is not None and np.array_equal(
+                    self.pose_old, self._last_comp_pose):
+                # the fused verify already composed old@pose_old with this
+                # scan's model render — reuse, zero extra device work
+                slam.set_model_maps(self._last_comp)
+            else:
+                old_maps = self._render_old(slam, self.pose_old)
+                slam.set_model_maps(_compose_jit(
+                    old_maps, slam.model_maps,
+                    cfg.max_loop_closure_distance))
 
+        self.sync_request = deferred
         stats["loop-count"] = self.loop_count
         stats["loop-closures"] = self.num_loop_closures
         stats["loop-time"] = _time.perf_counter() - t_loop0
@@ -332,7 +529,9 @@ class LoopCloser:
             return False
 
         pose_prior = self.posegraph.pose(to)
-        old_maps = self._render_old(slam, pose_prior)
+        old_maps = None
+        if not getattr(slam, "supports_fused_verify", False):
+            old_maps = self._render_old(slam, pose_prior)
 
         # three initializations (SurfelMapping.cpp:679-691)
         O = np.linalg.inv(pose_prior) @ pose
@@ -347,15 +546,40 @@ class LoopCloser:
         # the valid/outlier-ratio gates pass for the best initialization;
         # the residual test only decides whether the old-frame pose anchor
         # jumps to the ICP estimate (else it stays at the odometry pose)
+        fused_rows = None
+        if getattr(slam, "supports_fused_verify", False):
+            # all three initializations aligned + composed-evaluated in
+            # ONE device program with ONE fetch (the unfused path costs
+            # ~6 separate syncs per searching scan)
+            if self._fused is None:
+                self._build_fused()
+            view, thr = slam.old_view(pose_prior)
+            fused_rows = np.asarray(self._fused[1](
+                view, jnp.asarray(thr, jnp.int32),
+                jnp.asarray(pose_prior, jnp.float32),
+                jnp.asarray(np.stack([O, rot_only, half]), jnp.float32),
+                slam.last_maps, slam.model_maps,
+                jnp.asarray(slam.confidence_threshold(), jnp.float32)))
         best = None
-        for init in (O, rot_only, half):
-            res = self._align_candidate(slam.last_maps, old_maps, init)
-            rel, _, rstats = _fetch_gn(res.pose, res.stats)
-            vr, orr, _ = self._ratios(rstats)
-            if not (vr > cfg.min_valid_ratio and orr < cfg.max_outlier_ratio):
-                continue
-            cand_pose = pose_prior @ rel
-            cstats = self._composed_residual(slam, cand_pose, pose)
+        for k, init in enumerate((O, rot_only, half)):
+            if fused_rows is not None:
+                row = fused_rows[k]
+                cand_pose = row[:16].reshape(4, 4)
+                rstats = icp_ops.IcpStats(*[float(x) for x in row[16:22]])
+                cstats = icp_ops.IcpStats(*[float(x) for x in row[22:28]])
+                vr, orr, _ = self._ratios(rstats)
+                if not (vr > cfg.min_valid_ratio
+                        and orr < cfg.max_outlier_ratio):
+                    continue
+            else:
+                res = self._align_candidate(slam.last_maps, old_maps, init)
+                rel, _, rstats = _fetch_gn(res.pose, res.stats)
+                vr, orr, _ = self._ratios(rstats)
+                if not (vr > cfg.min_valid_ratio
+                        and orr < cfg.max_outlier_ratio):
+                    continue
+                cand_pose = pose_prior @ rel
+                cstats = self._composed_residual(slam, cand_pose, pose)
             vr_old, or_old, res_old = self._ratios(cstats)
             rel_valid = vr_old / max(vr_new, 1e-12)
             rel_outlier = or_old / max(or_new, 1e-12)

@@ -16,6 +16,7 @@ subroutines).
 from __future__ import annotations
 
 import time
+from collections import deque
 from dataclasses import replace
 from functools import partial
 from typing import NamedTuple
@@ -233,9 +234,13 @@ class SurfelSLAM:
     ``SurfelMapping`` class plus the parts of ``VisualizerWindow`` that keep
     trajectories (``/root/reference/src/core/SurfelMapping.{h,cpp}``)."""
 
-    def __init__(self, cfg: SumaConfig, enable_loop_closure: bool | None = None):
+    def __init__(self, cfg: SumaConfig, enable_loop_closure: bool | None = None,
+                 pipeline_depth: int = 4):
         self.cfg = cfg
         self.state = init_state(cfg)
+        self.pipeline_depth = max(0, pipeline_depth)
+        self._pending: "deque" = deque()
+        self._dispatched = 0
         self.poses: list[np.ndarray] = []
         self.statistics: list[dict] = []
         self.trajectory_distances: list[float] = [0.0]
@@ -256,6 +261,31 @@ class SurfelSLAM:
         if do_loops and cfg.approach == "frame-to-model":
             from .loop_closure import LoopCloser
             self._loop = LoopCloser(cfg)
+
+        # jitted wrappers for the out-of-band map ops (loop closure,
+        # rebase, compaction). The surfel_map functions are pure but not
+        # jitted at module level; calling them eagerly costs one dispatch
+        # PER OP, which on a remote backend (~1 ms each, hundreds of ops
+        # in refresh_active/render_view) made the loop path ~100x slower
+        # than the jitted odometry step.
+        mcfg, dcfg, model = cfg.map, cfg.data, cfg.model
+        self._jit_old_view = jax.jit(
+            lambda mapstate, center, thr: sm.refresh_active(
+                mapstate, center, mcfg, priority="old",
+                ts_threshold=thr).active)
+        self._jit_old_render = jax.jit(
+            lambda view, pose, conf, thr: sm.render_view(
+                view, pose, model, mcfg, conf, thr, "old"))
+        self._jit_compact = jax.jit(lambda mapstate: sm.compact(mapstate,
+                                                                mcfg))
+
+        def _rebase(mapstate, poses_arr, cur, conf, thr):
+            new_map = sm.update_poses(mapstate, poses_arr, mcfg)
+            model_maps = sm.render_maps(new_map, cur, model, mcfg, conf,
+                                        thr, render_old=False)
+            return new_map, model_maps
+
+        self._jit_rebase = jax.jit(_rebase)
 
     @property
     def timestamp(self) -> int:
@@ -282,9 +312,12 @@ class SurfelSLAM:
     def set_model_maps(self, maps) -> None:
         self.state = self.state._replace(model_maps=maps)
 
-    def render_old_maps(self, view_pose):
-        """Cached old-(inactive-)map render at ``view_pose`` (loop-closure
-        verification; VERDICT r1 #7 caching lives in OldMapRenderCache)."""
+    # the LoopCloser uses the fused one-fetch verification/search programs
+    # on this driver (single-chip; the sharded driver renders through
+    # collectives and keeps the unfused path)
+    supports_fused_verify = True
+
+    def _ready_old_cache(self, view_pose):
         from .loop_closure import OldMapRenderCache
         if self.spill is not None:
             # the old map a revisit needs may have been paged out — bring
@@ -296,16 +329,25 @@ class SurfelSLAM:
                 self.map_version += 1
         if getattr(self, "_old_cache", None) is None:
             self._old_cache = OldMapRenderCache(
-                build_view=lambda center, thr: sm.refresh_active(
-                    self.state.map, center, self.cfg.map,
-                    priority="old", ts_threshold=thr).active,
-                render_view=lambda view, pose, conf, thr: sm.render_view(
-                    view, pose, self.cfg.model, self.cfg.map, conf, thr,
-                    "old"),
+                build_view=lambda center, thr: self._jit_old_view(
+                    self.state.map, center, thr),
+                render_view=self._jit_old_render,
                 delta_timestamp=self.cfg.loop.delta_timestamp)
-        return self._old_cache.render(view_pose, self.timestamp,
-                                      self.confidence_threshold(),
-                                      self.map_version)
+        return self._old_cache
+
+    def old_view(self, view_pose):
+        """Cached old-map device VIEW around ``view_pose`` -> (view, thr);
+        input to the LoopCloser's fused verify/search programs."""
+        cache = self._ready_old_cache(view_pose)
+        return cache.view_for(view_pose, self.timestamp, self.map_version)
+
+    def render_old_maps(self, view_pose):
+        """Cached old-(inactive-)map render at ``view_pose`` (loop-closure
+        verification; VERDICT r1 #7 caching lives in OldMapRenderCache)."""
+        cache = self._ready_old_cache(view_pose)
+        return cache.render(view_pose, self.timestamp,
+                            self.confidence_threshold(),
+                            self.map_version)
 
     def rebase(self, new_poses: np.ndarray, new_current: np.ndarray) -> None:
         """Rewrite the pose table (SurfelMap::updatePoses semantics — only
@@ -314,12 +356,12 @@ class SurfelSLAM:
         arr = np.asarray(self.state.map.poses).copy()
         arr[:min(len(new_poses), arr.shape[0])] = \
             np.asarray(new_poses)[:arr.shape[0]]
-        new_map = sm.update_poses(self.state.map, jnp.asarray(arr),
-                                  self.cfg.map)
-        model_maps = sm.render_maps(
-            new_map, jnp.asarray(new_current, jnp.float32), self.cfg.model,
-            self.cfg.map, self.confidence_threshold(),
-            self.timestamp - self.cfg.loop.delta_timestamp, render_old=False)
+        new_map, model_maps = self._jit_rebase(
+            self.state.map, jnp.asarray(arr),
+            jnp.asarray(new_current, jnp.float32),
+            jnp.asarray(self.confidence_threshold(), jnp.float32),
+            jnp.asarray(self.timestamp - self.cfg.loop.delta_timestamp,
+                        jnp.int32))
         self.state = self.state._replace(
             map=new_map, pose=jnp.asarray(new_current, jnp.float32),
             model_maps=model_maps)
@@ -331,16 +373,27 @@ class SurfelSLAM:
 
     def confidence_threshold(self) -> float:
         """Warmup schedule (SurfelMapping::getConfidenceThreshold,
-        SurfelMapping.cpp:333-340)."""
+        SurfelMapping.cpp:333-340) at the current DISPATCH count (equals
+        len(poses) in sync mode; runs ahead of it while scans are in
+        flight in pipelined mode)."""
         cfg = self.cfg.map
-        t = self.timestamp
+        t = self._dispatched
         if t < cfg.time_init:
             a = t / cfg.time_init
             return (1.0 - a) * cfg.log_unstable + a * cfg.confidence_threshold
         return cfg.confidence_threshold
 
-    def process_scan(self, points, labels=None, probs=None, point_valid=None):
-        """Feed one scan; returns an info dict (the reference's statistics_)."""
+    # -- dispatch / drain split -------------------------------------------
+    # A synchronous device->host fetch costs a full link round trip (~33 ms
+    # on the remote-tunnel backend vs ~1 ms for an async dispatch), so the
+    # driver supports keeping up to ``pipeline_depth`` scans in flight:
+    # ``_dispatch`` enqueues the jitted step + an async copy of the packed
+    # info vector; ``_drain_one`` completes the host bookkeeping for the
+    # oldest in-flight scan. ``process_scan`` stays fully synchronous (the
+    # loop-closure state machine needs the result before the next scan);
+    # ``process_scan_async`` is the odometry fast path.
+
+    def _dispatch(self, points, labels, probs, point_valid) -> None:
         t_start = time.perf_counter()
         n = points.shape[0]
         if labels is None:
@@ -349,19 +402,30 @@ class SurfelSLAM:
             probs = jnp.ones((n,), jnp.float32)
         if point_valid is None:
             point_valid = jnp.ones((n,), bool)
-
         ct = self.confidence_threshold()
         self.state, packed = odometry_step_fetch(
             self.state, jnp.asarray(points), jnp.asarray(labels),
             jnp.asarray(probs), jnp.asarray(point_valid), ct, self.cfg)
+        self._dispatched += 1
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - non-array backends
+            pass
+        self._pending.append((packed, t_start))
+
+    def _drain_one(self) -> dict:
+        packed, t_start = self._pending.popleft()
         # the ONLY synchronous device->host transfer of the scan
         info = _unpack_step_info(np.asarray(packed))
+        lag = len(self._pending)  # scans dispatched after this one
 
         # near-capacity policy: first page far blocks to host RAM (the
         # reference's SubmapCache), then fall back to stream compaction.
         # A non-zero drop count means the arena filled before the host got
         # ahead of it — reclaim immediately so at most ONE scan ever drops,
         # and count what was lost (VERDICT r1: no silent creation drops).
+        # In pipelined mode the fetched counters lag by ``lag`` scans, so
+        # every headroom check widens by lag * hw (worst-case growth).
         cap = self.cfg.map.surfel_capacity
         hw = self.cfg.data.height * self.cfg.data.width
         bs = self.cfg.map.effective_block_size
@@ -369,6 +433,7 @@ class SurfelSLAM:
         self.creations_dropped += n_dropped
         pose = info.pose
         free_rows = cap - info.block_count * bs
+        headroom = (2 + lag) * hw
         spilled = False
         if self.spill is not None:
             st = self.spill.ensure_resident(self.state.map, pose[:3, 3])
@@ -377,16 +442,17 @@ class SurfelSLAM:
                 self.map_version += 1
             # the pressure predicate runs on the cached fetch; the actual
             # paging (rare) may sync internally
-            if free_rows < 2 * hw or n_dropped:
+            if free_rows < headroom or n_dropped:
                 st = self.spill.maybe_spill(self.state.map, pose[:3, 3],
-                                            headroom_rows=2 * hw)
+                                            headroom_rows=headroom)
                 if st is not None:
                     self.state = self.state._replace(map=st)
                     self.map_version += 1
                     spilled = True  # maybe_spill compacts internally
-        if not spilled and (info.map_count + hw > cap or n_dropped):
+        if not spilled and (info.map_count + (1 + lag) * hw > cap
+                            or n_dropped):
             self.state = self.state._replace(
-                map=sm.compact(self.state.map, self.cfg.map))
+                map=self._jit_compact(self.state.map))
             self.map_version += 1
         self.poses.append(pose)
         if len(self.poses) > 1:
@@ -409,12 +475,51 @@ class SurfelSLAM:
         }
 
         if self._loop is not None:
-            loop_stats = self._loop.on_scan(self, info)
+            loop_stats = self._loop.on_scan(self, info,
+                                            lag=len(self._pending))
             stats.update(loop_stats)
 
         stats["complete-time"] = time.perf_counter() - t_start
         self.statistics.append(stats)
         return stats
+
+    def process_scan(self, points, labels=None, probs=None, point_valid=None):
+        """Feed one scan; returns an info dict (the reference's statistics_).
+        Fully synchronous: result belongs to THIS scan."""
+        self._dispatch(points, labels, probs, point_valid)
+        if self._loop is not None:
+            self._loop.pre_dispatch(self)
+        return self._drain_one()
+
+    def process_scan_async(self, points, labels=None, probs=None,
+                           point_valid=None):
+        """Pipelined driver path: dispatches this scan and completes the
+        host bookkeeping of the scan dispatched ``pipeline_depth`` scans
+        ago (returns its stats dict, or None while the pipeline fills).
+        Hides the device->host round trip behind in-flight device work —
+        measured 10.5 -> ~83 scans/s on the remote-tunnel TPU.
+
+        Loop-closure runs are hybrid: while the state machine is provably
+        idle (no live candidate, no pending optimization, no nearby old
+        pose) scans pipeline at full depth; when ``LoopCloser.sync_needed``
+        turns on, the pipeline drains and each scan runs synchronously so
+        verification/search/rebase see exactly-current device state.
+        Call :meth:`flush` after the last scan."""
+        self._dispatch(points, labels, probs, point_valid)
+        if self._loop is not None and self._loop.sync_needed:
+            self._loop.pre_dispatch(self)
+            return self.flush()
+        if len(self._pending) > self.pipeline_depth:
+            return self._drain_one()
+        return None
+
+    def flush(self):
+        """Drain all in-flight scans (pipelined mode); returns the last
+        stats dict or None."""
+        out = None
+        while self._pending:
+            out = self._drain_one()
+        return out
 
     def trajectory(self) -> np.ndarray:
         return np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))

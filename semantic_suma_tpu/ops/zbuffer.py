@@ -83,7 +83,8 @@ def zbuffer_argmin(ids: jnp.ndarray, depth: jnp.ndarray, num_cells: int,
 
 def zbuffer_runs(ids: jnp.ndarray, depth: jnp.ndarray,
                  flags: "tuple[jnp.ndarray, ...]", num_cells: int,
-                 depth_bound: float = 100.0):
+                 depth_bound: float = 100.0,
+                 flag_payloads: "tuple[bool, ...] | None" = None):
     """One sentinel-augmented sort, ZERO scatters, K flagged argmins.
 
     TPU scatters serialize per row (~1.2 ms for a 2^18-update scatter on
@@ -114,14 +115,19 @@ def zbuffer_runs(ids: jnp.ndarray, depth: jnp.ndarray,
     candidate at cell c" is simply ``winners[k][c] >= 0``.
     """
     n = ids.shape[0]
-    m = n + num_cells
+    # num_cells run sentinels + ONE terminator sentinel for pseudo-cell C:
+    # it sorts after every real candidate but before the invalid rows
+    # (which carry id C and the far bucket), so the last real cell's run
+    # is bounded by a sentinel position like every other cell's — the
+    # in-run checks below are pure position comparisons, no id decode
+    m = n + num_cells + 1
     assert m < (1 << 26) and len(flags) <= 3
     valid = (ids >= 0) & (ids < num_cells)
     payload = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     for k, fl in enumerate(flags):
         payload = payload | (fl.astype(jnp.int32) << (29 - k))
     # sentinel payloads carry bit 30; their iota is the cell id (unused)
-    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (num_cells,), 0)
+    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (num_cells + 1,), 0)
     pay_ext = jnp.concatenate([payload, cell_iota | (1 << 30)])
 
     depth_bits = 31 - int(num_cells).bit_length()
@@ -136,20 +142,17 @@ def zbuffer_runs(ids: jnp.ndarray, depth: jnp.ndarray,
                         (jnp.int32(num_cells) << depth_bits) | qmax)
         key_ext = jnp.concatenate([key, cell_iota << depth_bits])
         sorted_key, sorted_pay = jax.lax.sort((key_ext, pay_ext), num_keys=1)
-        # pair carries the raw key: one row gather yields BOTH the run-id
-        # check (key >> bits) and the winner's quantized depth (key & qmax)
+        # the sorted key doubles as the winner's quantized depth (key & qmax)
         pair_first = sorted_key
-        to_id = lambda v: v >> depth_bits
     else:
         ids_s = jnp.where(valid, ids, num_cells).astype(jnp.int32)
         ids_ext = jnp.concatenate([ids_s, cell_iota])
         depth_s = jnp.where(valid, depth, jnp.inf).astype(jnp.float32)
         depth_ext = jnp.concatenate(
-            [depth_s, jnp.full((num_cells,), -jnp.inf, jnp.float32)])
+            [depth_s, jnp.full((num_cells + 1,), -jnp.inf, jnp.float32)])
         sorted_ids, _, sorted_pay = jax.lax.sort(
             (ids_ext, depth_ext, pay_ext), num_keys=2)
         pair_first = sorted_ids
-        to_id = lambda v: v
 
     pmask = (1 << 26) - 1
     pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
@@ -168,20 +171,34 @@ def zbuffer_runs(ids: jnp.ndarray, depth: jnp.ndarray,
     ckey = is_real.astype(jnp.int32)
     _, p_sent = jax.lax.sort((ckey, pos), num_keys=1)
     p = p_sent[:num_cells]                              # [C], cell order
+    p_term = p_sent[num_cells]                          # terminator position
 
-    pair = jnp.stack([pair_first, sorted_pay], axis=-1)  # [m, 2]
-    nxt_pair = pair[jnp.minimum(p + 1, m - 1)]           # [C, 2] row gather
-    nxt_real = ((nxt_pair[:, 1] >> 30) & 1) == 0
-    winner_all = jnp.where((p + 1 < m) & nxt_real
-                           & (to_id(nxt_pair[:, 0]) == cell_iota),
-                           nxt_pair[:, 1] & pmask, -1)
+    # sentinel positions are ascending in cell order, so "position q
+    # belongs to cell c's run" is simply q < p_next[c] (the next cell's
+    # sentinel position) — no id decode, and per-flag answers that only
+    # need EXISTENCE (flag_payloads[k] = False) need no gather at all
+    p_next = jnp.concatenate([p[1:], p_term[None]])      # [C]
+    pair_pay_key = jnp.stack([pair_first, sorted_pay], axis=-1)  # [m, 2]
 
+    q_all = jnp.minimum(p + 1, m - 1)
+    pay_all = sorted_pay[q_all]                          # [C] gather
+    # any row strictly inside a run is real (sentinels start runs)
+    winner_all = jnp.where(p + 1 < p_next, pay_all & pmask, -1)
+
+    if flag_payloads is None:
+        flag_payloads = tuple(True for _ in flags)
     winners, wdepths = [], []
     for k in range(len(flags)):
         nxt_c = nxts[k][p]                               # [C] gather
+        ok = nxt_c < p_next                              # in this cell's run
+        if not flag_payloads[k]:
+            # caller only tests ``winner >= 0``: 0 marks existence, no
+            # payload gather and no depth decode
+            winners.append(jnp.where(ok, 0, -1))
+            wdepths.append(jnp.where(ok, 0.0, jnp.inf))
+            continue
         nf = jnp.minimum(nxt_c, m - 1)
-        pf = pair[nf]                                    # [C, 2] row gather
-        ok = (nxt_c < m) & (to_id(pf[:, 0]) == cell_iota)
+        pf = pair_pay_key[nf]                            # [C, 2] row gather
         w = jnp.where(ok, pf[:, 1] & pmask, -1)
         winners.append(w)
         if depth_bits >= 12:

@@ -101,6 +101,9 @@ def load_checkpoint(path: str, cfg, enable_loop_closure: Optional[bool] = None):
 
     host = json.loads(bytes(data["__host__"]).decode())
     slam.poses = [np.asarray(p) for p in host["poses"]]
+    # the dispatch counter drives the confidence-threshold warmup; resume
+    # must continue it where the saved session left off
+    slam._dispatched = len(slam.poses)
     slam.trajectory_distances = list(host["trajectory_distances"])
     slam.track_loss_count = int(host["track_loss_count"])
     slam.statistics = host["statistics"]

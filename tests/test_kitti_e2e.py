@@ -45,6 +45,7 @@ def test_kitti_export_reader_roundtrip(tmp_path):
     assert auto is not None and np.allclose(auto, gt, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_kitti_cli_end_to_end(tmp_path, capsys):
     """cli run --dataset over exported files + --eval + pose export, then
     cli eval on the exported files again (the full user workflow)."""

@@ -1,6 +1,7 @@
 """Loop-closure end-to-end test: drive a full circle with depth noise; the
 loop must be detected, verified, and the pose-graph correction must reduce
 final-position drift."""
+import pytest
 import numpy as np
 
 from semantic_suma_tpu.config import (DataConfig, IcpConfig, LoopClosureConfig,
@@ -25,6 +26,7 @@ def loop_cfg():
                                outlier_threshold=6.0))
 
 
+@pytest.mark.slow
 def test_loop_closes_circle():
     cfg = loop_cfg()
     radius = 16.0

@@ -14,6 +14,7 @@ Command (manual form, one per host):
     SUMA_FORCE_CPU=1 python -m semantic_suma_tpu.parallel.multihost_smoke \
         --coordinator localhost:12355 --num-processes 2 --process-id {0,1}
 """
+import pytest
 import os
 import socket
 import subprocess
@@ -30,6 +31,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_cpu_smoke():
     port = _free_port()
     env = dict(os.environ)

@@ -1,5 +1,6 @@
 """Segmenter (RangeNet-class) tests: shapes, training convergence on a
 synthetic segmentation task, KNN cleanup, per-point label interface."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ from semantic_suma_tpu.ops.projection import project_scan
 CFG = DataConfig(width=96, height=16)
 
 
+@pytest.mark.slow
 def test_forward_shapes():
     model = rn.small_rangenet()
     x = jnp.zeros((2, 16, 96, 5))
@@ -51,6 +53,7 @@ def make_batch(key, n=2):
     return (jnp.stack(imgs), jnp.stack(labs), jnp.stack(vals))
 
 
+@pytest.mark.slow
 def test_training_learns_synthetic_task():
     model = rn.small_rangenet()
     tx, state = create_train_state(model, jax.random.PRNGKey(0),
@@ -97,6 +100,7 @@ def test_segmenter_point_interface():
     assert (p >= 0).all() and (p <= 1).all()
 
 
+@pytest.mark.slow
 def test_train_synthetic_miou_and_e2e(tmp_path):
     """The 'segmenter is real' contract (VERDICT r1 #2): train on the
     synthetic world, score mIoU > threshold on held-out scans, then drive
@@ -150,6 +154,7 @@ def test_segmenter_save_load(tmp_path):
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
 
+@pytest.mark.slow
 def test_train_kitti_validated(tmp_path):
     """KITTI-mode training path: held-out split, class weights, schedule,
     held-out mIoU — on a synthetic .label sequence with geometry-correlated

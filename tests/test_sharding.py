@@ -47,6 +47,7 @@ def test_sharded_step_runs_and_tracks():
     assert err < 0.5, err
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     """The unified sharded step (distributed GN + sharded fusion/render)
     must reproduce the single-device trajectory within numerical tolerance
@@ -100,6 +101,7 @@ def test_sharded_no_phantom_surfels():
         (total_valid, stats["map-count"])
 
 
+@pytest.mark.slow
 def test_sharded_rebase_and_compact():
     """Pose-table rewrite (integrateLoopClosures semantics) and per-shard
     compaction keep the sharded map consistent."""
@@ -127,6 +129,7 @@ def test_sharded_rebase_and_compact():
     assert stats["map-count"] >= before
 
 
+@pytest.mark.slow
 def test_sharded_loop_closure():
     """Full SLAM (configs 3x4 of BASELINE.json): loop closure runs on the
     8-device mesh — sharded old-map paging + old-selection render with
@@ -165,6 +168,7 @@ def test_sharded_loop_closure():
     assert err < 1.0, err
 
 
+@pytest.mark.slow
 def test_sharded_train_step():
     mesh = sh.make_2d_mesh(4, 2)
     model = rn.small_rangenet()

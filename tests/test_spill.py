@@ -2,6 +2,7 @@
 far blocks page out to host memory under arena pressure and page back on
 revisit; a loop closure across a forced spill must still succeed with zero
 creation drops."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -136,6 +137,7 @@ def loop_cfg():
                                min_verifications=3, outlier_threshold=6.0))
 
 
+@pytest.mark.slow
 def test_loop_closes_after_forced_spill():
     """Tiny arena + a full circle: the old map spills mid-lap, pages back on
     revisit, the loop still closes, and no creations are dropped."""
@@ -167,6 +169,7 @@ def test_loop_closes_after_forced_spill():
     assert err < 1.5, err
 
 
+@pytest.mark.slow
 def test_sharded_spill_matches_single_chip():
     """Per-shard host-RAM spill: the 2-device sharded driver under arena
     pressure must spill, never drop, and keep reproducing the single-chip

@@ -1,5 +1,6 @@
 """Surfel map tests: creation, rendering, association/fusion, stability,
 dynamic removal, compaction, pose updates."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -88,6 +89,7 @@ def test_association_updates_instead_of_creating():
     assert increased.mean() > 0.8
 
 
+@pytest.mark.slow
 def test_confidence_rises_and_culls():
     """Repeated observation stabilizes; surfels never re-observed die."""
     world = default_world(seed=0)
