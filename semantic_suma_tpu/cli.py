@@ -183,6 +183,8 @@ def cmd_run(args) -> int:
     pend_valid: deque = deque()
 
     def on_stats(stats):
+        # fires per finished scan from inside the (possibly pipelined /
+        # chunked) driver, in scan order
         idx_d = len(slam.statistics) - 1
         if evlog is not None:
             evlog.log("scan", idx=idx_d, **stats)
@@ -194,6 +196,7 @@ def cmd_run(args) -> int:
                   f"map={stats['map-count']} "
                   f"loops={stats.get('loop-closures', 0)}", file=sys.stderr)
 
+    slam.stats_callback = on_stats
     t0 = time.perf_counter()
     t_steady = None  # timer restarted after warmup/compile scans
     steady_at = start + 10
@@ -201,21 +204,15 @@ def cmd_run(args) -> int:
         if i == steady_at:
             t_steady = time.perf_counter()
         pts, labels, probs, valid = get_scan(i)
+        if accum is not None:
+            pend_pts.append(pts)
+            pend_valid.append(valid)
         if use_async:
-            if accum is not None:
-                pend_pts.append(pts)
-                pend_valid.append(valid)
-            stats = slam.process_scan_async(pts, labels, probs, valid)
+            slam.process_scan_async(pts, labels, probs, valid)
         else:
-            if accum is not None:
-                pend_pts.append(pts)
-                pend_valid.append(valid)
-            stats = slam.process_scan(pts, labels, probs, valid)
-        if stats is not None:
-            on_stats(stats)
+            slam.process_scan(pts, labels, probs, valid)
     if use_async:
-        while slam._pending:
-            on_stats(slam._drain_one())
+        slam.flush()
     wall = time.perf_counter() - t0
     n_done = count - start
     est = slam.trajectory()

@@ -197,6 +197,33 @@ def odometry_step_fetch(state: SlamState, points, labels, probs, point_valid,
     return new_state, _pack_step_info(info, new_state.map.block_count)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def odometry_chunk_fetch(state: SlamState, points, labels, probs,
+                         point_valid, conf_thresholds, cfg: SumaConfig):
+    """K scans (leading axis) in ONE device program -> (state, [K, 50]).
+
+    A ``fori_loop`` whose carry is the SlamState: unlike the rejected
+    ``lax.scan`` formulation (whose stacked ys/xs forced per-iteration
+    relayout copies of the arena, ~22 ms/scan), the fori carry stays in
+    place — measured at the carried-loop device rate (~9.8 ms/scan at the
+    flagship point) while paying the host->device dispatch floor
+    (~2 ms/call on the remote tunnel) once per K scans instead of per
+    scan."""
+    k = points.shape[0]
+
+    def body(i, carry):
+        st, infos = carry
+        st2, info = odometry_step(st, points[i], labels[i], probs[i],
+                                  point_valid[i], conf_thresholds[i], cfg)
+        packed = _pack_step_info(info, st2.map.block_count)
+        infos = jax.lax.dynamic_update_index_in_dim(infos, packed, i, 0)
+        return st2, infos
+
+    state, infos = jax.lax.fori_loop(
+        0, k, body, (state, jnp.zeros((k, 50), jnp.float32)))
+    return state, infos
+
+
 class HostStepInfo(NamedTuple):
     """StepInfo with numpy leaves (free host reads) + extras from the
     packed fetch."""
@@ -235,12 +262,18 @@ class SurfelSLAM:
     trajectories (``/root/reference/src/core/SurfelMapping.{h,cpp}``)."""
 
     def __init__(self, cfg: SumaConfig, enable_loop_closure: bool | None = None,
-                 pipeline_depth: int = 4):
+                 pipeline_depth: int = 4, chunk_size: int = 4):
         self.cfg = cfg
         self.state = init_state(cfg)
         self.pipeline_depth = max(0, pipeline_depth)
+        self.chunk_size = max(1, chunk_size)
+        self._chunk_buf: list = []
         self._pending: "deque" = deque()
         self._dispatched = 0
+        # called with every finished scan's stats dict (pipelined/chunked
+        # draining completes several scans per call, so return values alone
+        # under-report; drivers that stream per-scan stats register here)
+        self.stats_callback = None
         self.poses: list[np.ndarray] = []
         self.statistics: list[dict] = []
         self.trajectory_distances: list[float] = [0.0]
@@ -371,53 +404,130 @@ class SurfelSLAM:
             self.spill.on_rebase(arr)
         self.map_version += 1
 
-    def confidence_threshold(self) -> float:
-        """Warmup schedule (SurfelMapping::getConfidenceThreshold,
-        SurfelMapping.cpp:333-340) at the current DISPATCH count (equals
-        len(poses) in sync mode; runs ahead of it while scans are in
-        flight in pipelined mode)."""
+    def _conf_at(self, t: int) -> float:
         cfg = self.cfg.map
-        t = self._dispatched
         if t < cfg.time_init:
             a = t / cfg.time_init
             return (1.0 - a) * cfg.log_unstable + a * cfg.confidence_threshold
         return cfg.confidence_threshold
 
+    def confidence_threshold(self) -> float:
+        """Warmup schedule (SurfelMapping::getConfidenceThreshold,
+        SurfelMapping.cpp:333-340) at the current DISPATCH count (equals
+        len(poses) in sync mode; runs ahead of it while scans are in
+        flight in pipelined mode)."""
+        return self._conf_at(self._dispatched)
+
     # -- dispatch / drain split -------------------------------------------
     # A synchronous device->host fetch costs a full link round trip (~33 ms
     # on the remote-tunnel backend vs ~1 ms for an async dispatch), so the
-    # driver supports keeping up to ``pipeline_depth`` scans in flight:
-    # ``_dispatch`` enqueues the jitted step + an async copy of the packed
-    # info vector; ``_drain_one`` completes the host bookkeeping for the
-    # oldest in-flight scan. ``process_scan`` stays fully synchronous (the
+    # driver supports keeping up to ``pipeline_depth`` dispatches in
+    # flight: ``_dispatch`` enqueues the jitted step + an async copy of the
+    # packed info vector; ``_drain_one`` completes the host bookkeeping for
+    # the oldest in-flight dispatch. On top of that, odometry scans batch
+    # into ``chunk_size``-scan device programs (``odometry_chunk_fetch``)
+    # so the per-call dispatch floor (~2 ms on the remote tunnel) is paid
+    # once per chunk. ``process_scan`` stays fully synchronous (the
     # loop-closure state machine needs the result before the next scan);
-    # ``process_scan_async`` is the odometry fast path.
+    # ``process_scan_async`` is the pipelined product path.
+
+    # point-count padding granule (bounds jit signatures for variable-size
+    # scans; 14400 divides the 64x900 synthetic size so the flagship
+    # signature is unchanged, and real KITTI scans (~120-130k pts) land in
+    # a couple of buckets)
+    _BUCKET = 14400
+
+    def _prep_scan(self, points, labels, probs, point_valid):
+        """Normalize one scan's inputs: fill defaults, pad the point axis
+        up to a _BUCKET multiple (marked invalid) so variable-size scans —
+        e.g. real KITTI .bin files — reuse a handful of jit signatures
+        instead of recompiling per scan, and capture this scan's
+        confidence threshold. Returns (pts, lab, prb, val, ct)."""
+        n = points.shape[0]
+        points = jnp.asarray(points)
+        labels = (jnp.zeros((n,), jnp.int32) if labels is None
+                  else jnp.asarray(labels))
+        probs = (jnp.ones((n,), jnp.float32) if probs is None
+                 else jnp.asarray(probs))
+        point_valid = (jnp.ones((n,), bool) if point_valid is None
+                       else jnp.asarray(point_valid))
+        bucket = -(-n // self._BUCKET) * self._BUCKET
+        if bucket != n:
+            pad = bucket - n
+            points = jnp.pad(points, ((0, pad), (0, 0)))
+            labels = jnp.pad(labels, (0, pad))
+            probs = jnp.pad(probs, (0, pad))
+            point_valid = jnp.pad(point_valid, (0, pad))
+        ct = self._conf_at(self._dispatched)
+        self._dispatched += 1
+        return points, labels, probs, point_valid, ct
 
     def _dispatch(self, points, labels, probs, point_valid) -> None:
+        self._dispatch_prepped(self._prep_scan(points, labels, probs,
+                                               point_valid))
+
+    def _dispatch_prepped(self, prepped) -> None:
         t_start = time.perf_counter()
-        n = points.shape[0]
-        if labels is None:
-            labels = jnp.zeros((n,), jnp.int32)
-        if probs is None:
-            probs = jnp.ones((n,), jnp.float32)
-        if point_valid is None:
-            point_valid = jnp.ones((n,), bool)
-        ct = self.confidence_threshold()
+        pts, lab, prb, val, ct = prepped
         self.state, packed = odometry_step_fetch(
-            self.state, jnp.asarray(points), jnp.asarray(labels),
-            jnp.asarray(probs), jnp.asarray(point_valid), ct, self.cfg)
-        self._dispatched += 1
+            self.state, pts, lab, prb, val, ct, self.cfg)
         try:
             packed.copy_to_host_async()
         except AttributeError:  # pragma: no cover - non-array backends
             pass
-        self._pending.append((packed, t_start))
+        self._pending.append((packed, t_start, 1))
+
+    def _dispatch_chunk(self) -> None:
+        """Stack the buffered scans and run them as ONE device program."""
+        entries = self._chunk_buf
+        self._chunk_buf = []
+        if not entries:
+            return
+        if len(entries) == 1:
+            self._dispatch_prepped(entries[0])
+            return
+        t_start = time.perf_counter()
+        nmax = max(e[0].shape[0] for e in entries)
+
+        def pad_to(a, n):
+            d = n - a.shape[0]
+            if d == 0:
+                return a
+            widths = ((0, d),) + ((0, 0),) * (a.ndim - 1)
+            return jnp.pad(a, widths)
+
+        pts = jnp.stack([pad_to(e[0], nmax) for e in entries])
+        lab = jnp.stack([pad_to(e[1], nmax) for e in entries])
+        prb = jnp.stack([pad_to(e[2], nmax) for e in entries])
+        val = jnp.stack([pad_to(e[3], nmax) for e in entries])
+        cts = jnp.asarray([e[4] for e in entries], jnp.float32)
+        self.state, infos = odometry_chunk_fetch(
+            self.state, pts, lab, prb, val, cts, self.cfg)
+        try:
+            infos.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        self._pending.append((infos, t_start, len(entries)))
+
+    def _inflight(self) -> int:
+        """Scans dispatched or buffered whose results the host hasn't
+        processed yet (excluding the one being drained)."""
+        return sum(e[2] for e in self._pending) + len(self._chunk_buf)
 
     def _drain_one(self) -> dict:
-        packed, t_start = self._pending.popleft()
-        # the ONLY synchronous device->host transfer of the scan
-        info = _unpack_step_info(np.asarray(packed))
-        lag = len(self._pending)  # scans dispatched after this one
+        packed, t_start, rows = self._pending.popleft()
+        # the ONLY synchronous device->host transfer of the chunk
+        arr = np.asarray(packed)
+        if rows == 1 and arr.ndim == 1:
+            return self._finish_host(arr, t_start)
+        stats = None
+        for r in range(rows):
+            stats = self._finish_host(arr[r], t_start)
+        return stats
+
+    def _finish_host(self, vec: np.ndarray, t_start: float) -> dict:
+        info = _unpack_step_info(vec)
+        lag = self._inflight()  # scans dispatched after this one
 
         # near-capacity policy: first page far blocks to host RAM (the
         # reference's SubmapCache), then fall back to stream compaction.
@@ -476,11 +586,13 @@ class SurfelSLAM:
 
         if self._loop is not None:
             loop_stats = self._loop.on_scan(self, info,
-                                            lag=len(self._pending))
+                                            lag=self._inflight())
             stats.update(loop_stats)
 
         stats["complete-time"] = time.perf_counter() - t_start
         self.statistics.append(stats)
+        if self.stats_callback is not None:
+            self.stats_callback(stats)
         return stats
 
     def process_scan(self, points, labels=None, probs=None, point_valid=None):
@@ -505,6 +617,17 @@ class SurfelSLAM:
         turns on, the pipeline drains and each scan runs synchronously so
         verification/search/rebase see exactly-current device state.
         Call :meth:`flush` after the last scan."""
+        if self._loop is None and self.chunk_size > 1:
+            # odometry fast path: batch scans into chunk_size-scan device
+            # programs (one dispatch per chunk)
+            self._chunk_buf.append(self._prep_scan(points, labels, probs,
+                                                   point_valid))
+            if len(self._chunk_buf) >= self.chunk_size:
+                self._dispatch_chunk()
+            out = None
+            while len(self._pending) > self.pipeline_depth:
+                out = self._drain_one()
+            return out
         self._dispatch(points, labels, probs, point_valid)
         if self._loop is not None and self._loop.sync_needed:
             self._loop.pre_dispatch(self)
@@ -514,8 +637,10 @@ class SurfelSLAM:
         return None
 
     def flush(self):
-        """Drain all in-flight scans (pipelined mode); returns the last
-        stats dict or None."""
+        """Drain all in-flight (and still-buffered) scans; returns the
+        last stats dict or None."""
+        if self._chunk_buf:
+            self._dispatch_chunk()
         out = None
         while self._pending:
             out = self._drain_one()
