@@ -156,7 +156,7 @@ def main():
         # 5. sharded driver accuracy (8-virtual-device CPU mesh): the same
         # odometry workload through ShardedSurfelSLAM so sharded-vs-single
         # drift is a tracked number per round (VERDICT r3 #6)
-        n_sh = 40 if args.quick else 80
+        n_sh = 30 if args.quick else 50
         code = (
             "import os\n"
             "os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS','') + "
@@ -164,14 +164,19 @@ def main():
             "import jax, json\n"
             "jax.config.update('jax_platforms', 'cpu')\n"
             "import numpy as np, jax.numpy as jnp\n"
-            "from semantic_suma_tpu.config import SumaConfig, MapConfig\n"
+            "from semantic_suma_tpu.config import (SumaConfig, MapConfig, "
+            "DataConfig)\n"
             "from dataclasses import replace\n"
             "from semantic_suma_tpu.parallel import sharding as sh\n"
             "from semantic_suma_tpu.io.simulation import SimulationReader\n"
             "from semantic_suma_tpu.utils import metrics\n"
-            "cfg = SumaConfig()\n"
-            "cfg = cfg.replace(map=replace(cfg.map, surfel_capacity=1<<19, "
-            "active_capacity=1<<17, max_poses=256))\n"
+            # half-width image + small arena: the 8-thread virtual mesh
+            # oversubscribes host cores, and full-size collectives can hit
+            # XLA's 40 s rendezvous timeout under load
+            "d = DataConfig(width=450, height=32)\n"
+            "cfg = SumaConfig(data=d, model=d)\n"
+            "cfg = cfg.replace(map=replace(cfg.map, surfel_capacity=1<<18, "
+            "active_capacity=1<<16, max_poses=256))\n"
             f"n = {n_sh}\n"
             "reader = SimulationReader(cfg.data, n_scans=n, radius=18.0, "
             "step=1.5)\n"
@@ -187,9 +192,13 @@ def main():
         pr = sp.run([sys.executable, "-c", code], capture_output=True,
                     text=True, cwd=REPO, timeout=3600)
         if pr.returncode != 0:
-            print(pr.stdout, pr.stderr, file=sys.stderr)
-            raise RuntimeError("sharded accuracy run failed")
-        rows["sharded-8dev"] = {"scans": n_sh, **last_json(pr.stdout)}
+            # non-fatal: never lose the completed rows to a flaky virtual
+            # 8-thread mesh (XLA CPU collectives can hit their 40 s
+            # rendezvous timeout on oversubscribed hosts)
+            print(pr.stdout[-2000:], pr.stderr[-2000:], file=sys.stderr)
+            rows["sharded-8dev"] = {"scans": n_sh, "error": "run failed"}
+        else:
+            rows["sharded-8dev"] = {"scans": n_sh, **last_json(pr.stdout)}
 
     if args.cpu:
         backend = "cpu"

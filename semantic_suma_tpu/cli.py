@@ -242,6 +242,11 @@ def cmd_run(args) -> int:
     if args.save_map:
         save_map_ply(args.save_map, slam.state, cfg.map)
 
+    if args.save_viewer:
+        from .utils.viz3d import export_map_html
+        export_map_html(args.save_viewer, slam.state, cfg.map,
+                        trajectory=est)
+
     if accum is not None:
         save_cloud_ply(args.save_cloud, accum.world_cloud(max_points=2_000_000))
 
@@ -336,6 +341,9 @@ def main(argv=None) -> int:
     runp.add_argument("--stats-json",
                       help="per-scan statistics as a JSONL event log")
     runp.add_argument("--save-map")
+    runp.add_argument("--save-viewer",
+                      help="standalone interactive 3D map viewer HTML "
+                           "(WebGL; surfels + trajectory + car glyph)")
     runp.add_argument("--save-cloud",
                       help="aggregated world-frame raw-scan cloud PLY")
     runp.add_argument("--save-checkpoint",

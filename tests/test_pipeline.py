@@ -98,3 +98,52 @@ def test_odometry_run_matches_per_step():
     np.testing.assert_allclose(np.asarray(infos.pose), np.stack(poses),
                                atol=1e-6)
     assert int(st_b.map.count) == int(st_a.map.count)
+
+
+def test_async_chunked_matches_sync():
+    """The pipelined + chunked driver (process_scan_async, chunk_size>1)
+    must produce the same trajectory and per-scan statistics as the fully
+    synchronous driver — chunking/pipelining changes WHEN the host learns
+    results, never the results."""
+    cfg = small_cfg()
+    reader = SimulationReader(cfg.data, n_scans=14, radius=18.0)
+    scans = [reader.read(i) for i in range(14)]
+
+    sync = SurfelSLAM(cfg, enable_loop_closure=False)
+    for s in scans:
+        sync.process_scan(s.points, s.labels, s.probs, s.valid)
+
+    for chunk in (1, 4):
+        slam = SurfelSLAM(cfg, enable_loop_closure=False,
+                          pipeline_depth=3, chunk_size=chunk)
+        for s in scans:
+            slam.process_scan_async(s.points, s.labels, s.probs, s.valid)
+        slam.flush()
+        assert len(slam.poses) == 14
+        np.testing.assert_allclose(np.stack(slam.poses),
+                                   np.stack(sync.poses), atol=1e-5)
+        assert [st["map-count"] for st in slam.statistics] == \
+            [st["map-count"] for st in sync.statistics]
+
+
+def test_variable_size_scans_bucketed():
+    """Variable point counts (real KITTI) pad to the bucket granule with a
+    validity mask; results must match feeding the unpadded scan."""
+    import jax.numpy as jnp
+    cfg = small_cfg()
+    reader = SimulationReader(cfg.data, n_scans=6, radius=18.0)
+    slam_a = SurfelSLAM(cfg, enable_loop_closure=False)
+    slam_b = SurfelSLAM(cfg, enable_loop_closure=False)
+    for i in range(6):
+        s = reader.read(i)
+        # drop a different number of trailing points each scan
+        n = s.points.shape[0] - 17 * (i + 1)
+        slam_a.process_scan(np.asarray(s.points)[:n],
+                            np.asarray(s.labels)[:n],
+                            np.asarray(s.probs)[:n],
+                            np.asarray(s.valid)[:n])
+        full_valid = np.asarray(s.valid).copy()
+        full_valid[n:] = False
+        slam_b.process_scan(s.points, s.labels, s.probs, full_valid)
+    np.testing.assert_allclose(np.stack(slam_a.poses),
+                               np.stack(slam_b.poses), atol=1e-4)
