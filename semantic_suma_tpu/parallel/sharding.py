@@ -332,9 +332,15 @@ class ShardedSurfelSLAM:
     near-capacity compaction and pose-graph rebase support."""
 
     def __init__(self, cfg: SumaConfig, mesh: Mesh, axis: str = "map",
-                 enable_loop_closure: bool | None = None):
+                 enable_loop_closure: bool | None = None,
+                 pipeline_depth: int = 4):
+        from collections import deque
+
         from ..core.preprocessing import empty_maps
 
+        self.pipeline_depth = max(0, pipeline_depth)
+        self._pending = deque()
+        self._dispatched = 0
         self.cfg = cfg
         self.mesh = mesh
         self.axis = axis
@@ -432,16 +438,19 @@ class ShardedSurfelSLAM:
                 a.shape, a.sharding, arrs)
         self.map_sh = jax.tree.map(put, self.map_sh, st)
 
-    def confidence_threshold(self) -> float:
+    def _conf_at(self, t: int) -> float:
         c = self.cfg.map
-        t = self.timestamp
         if t < c.time_init:
             a = t / c.time_init
             return (1.0 - a) * c.log_unstable + a * c.confidence_threshold
         return c.confidence_threshold
 
-    def process_scan(self, points, labels=None, probs=None,
-                     point_valid=None) -> dict:
+    def confidence_threshold(self) -> float:
+        return self._conf_at(self._dispatched)
+
+    # -- dispatch / drain split (mirrors pipeline.SurfelSLAM) -------------
+
+    def _dispatch(self, points, labels, probs, point_valid) -> None:
         n = points.shape[0]
         if labels is None:
             labels = jnp.zeros((n,), jnp.int32)
@@ -449,8 +458,9 @@ class ShardedSurfelSLAM:
             probs = jnp.ones((n,), jnp.float32)
         if point_valid is None:
             point_valid = jnp.ones((n,), bool)
-        ts = jnp.asarray(self.timestamp, jnp.int32)
-        ct = jnp.asarray(self.confidence_threshold(), jnp.float32)
+        ts = jnp.asarray(self._dispatched, jnp.int32)
+        ct = jnp.asarray(self._conf_at(self._dispatched), jnp.float32)
+        self._dispatched += 1
         with self.mesh:
             (self.map_sh, self.pose, self.last_increment, self.last_maps,
              self.model_maps, info) = self._step(
@@ -458,20 +468,55 @@ class ShardedSurfelSLAM:
                 self.model_maps, ts, jnp.asarray(points),
                 jnp.asarray(labels), jnp.asarray(probs),
                 jnp.asarray(point_valid), ct)
+            # pack everything the host loop reads into ONE vector (pose,
+            # increment+its log for the loop closer, all scalars); the
+            # fetch is deferred so scans can pipeline
+            vals = (info["error"], info["valid"], info["inlier"],
+                    info["outlier"], info["inlier_residual"],
+                    info["invalid"], info["iterations"],
+                    info["track_loss"], info["n_created"],
+                    info["n_dropped"], info["map_count"],
+                    info["min_free_rows"])
+            packed = jnp.concatenate(
+                [self.pose.astype(jnp.float32).reshape(-1),
+                 self.last_increment.astype(jnp.float32).reshape(-1),
+                 lie.se3_log(self.last_increment.astype(jnp.float32)
+                             ).reshape(-1),
+                 jnp.stack([jnp.asarray(v).astype(jnp.float32).reshape(())
+                            for v in vals])])
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        self._pending.append(packed)
 
-        # ONE device->host fetch for everything the host loop reads
-        # (pose, increment+its log for the loop closer, all scalars)
-        vals = (info["error"], info["valid"], info["inlier"],
-                info["outlier"], info["inlier_residual"], info["invalid"],
-                info["iterations"], info["track_loss"], info["n_created"],
-                info["n_dropped"], info["map_count"], info["min_free_rows"])
-        vec = np.asarray(jnp.concatenate(
-            [self.pose.astype(jnp.float32).reshape(-1),
-             self.last_increment.astype(jnp.float32).reshape(-1),
-             lie.se3_log(self.last_increment.astype(jnp.float32)
-                         ).reshape(-1),
-             jnp.stack([jnp.asarray(v).astype(jnp.float32).reshape(())
-                        for v in vals])]))
+    def process_scan(self, points, labels=None, probs=None,
+                     point_valid=None) -> dict:
+        """Feed one scan synchronously (result belongs to THIS scan)."""
+        self._dispatch(points, labels, probs, point_valid)
+        return self._drain_one()
+
+    def process_scan_async(self, points, labels=None, probs=None,
+                           point_valid=None):
+        """Pipelined multi-chip driving: up to ``pipeline_depth`` scans in
+        flight; loop-closure runs drain to synchronous execution whenever
+        the state machine is active (same hybrid protocol as the
+        single-chip driver). Call :meth:`flush` after the last scan."""
+        self._dispatch(points, labels, probs, point_valid)
+        if self._loop is not None and self._loop.sync_needed:
+            return self.flush()
+        if len(self._pending) > self.pipeline_depth:
+            return self._drain_one()
+        return None
+
+    def flush(self):
+        out = None
+        while self._pending:
+            out = self._drain_one()
+        return out
+
+    def _drain_one(self) -> dict:
+        vec = np.asarray(self._pending.popleft())
         pose = vec[:16].reshape(4, 4).copy()
         increment_np = vec[16:32].reshape(4, 4).copy()
         inc_log_np = vec[32:38].copy()
@@ -516,8 +561,10 @@ class ShardedSurfelSLAM:
                 self.map_version += 1
         # worst-shard pressure comes REPLICATED out of the jitted step
         # (lax.pmin) — no host fetch of sharded state, and every process
-        # takes the same branch
-        headroom = 2 * self.mcfg.min_fresh_rows
+        # takes the same branch; widened by the per-shard worst-case
+        # growth of scans still in flight (pipelined mode)
+        lag = len(self._pending)
+        headroom = (2 + lag) * self.mcfg.min_fresh_rows
         pressure = min_free_rows < headroom \
             or bool(stats["creations-dropped"])
         if pressure:
@@ -546,7 +593,8 @@ class ShardedSurfelSLAM:
                 iterations=int(t[6]), track_loss=bool(t[7] > 0),
                 n_created=int(t[8]), n_dropped=int(t[9]),
                 map_count=int(t[10]), block_count=0)
-            stats.update(self._loop.on_scan(self, shim))
+            stats.update(self._loop.on_scan(self, shim,
+                                            lag=len(self._pending)))
 
         self.statistics.append(stats)
         return stats
