@@ -224,6 +224,29 @@ def odometry_chunk_fetch(state: SlamState, points, labels, probs,
     return state, infos
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _pad_inputs(points, labels, probs, valid, n: int):
+    """Zero-pad one scan's arrays to n points (pad rows marked invalid);
+    jitted for the same non-blocking reason as :func:`_stack_padded`."""
+    pad = n - points.shape[0]
+    return (jnp.pad(points, ((0, pad), (0, 0))), jnp.pad(labels, (0, pad)),
+            jnp.pad(probs, (0, pad)), jnp.pad(valid, (0, pad)))
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _stack_padded(xs, n: int):
+    """Stack same-rank arrays along a new axis, zero-padding axis 0 to
+    ``n`` rows first (jitted so the call never blocks on unmaterialized
+    inputs from a remote device)."""
+    def pad(a):
+        d = n - a.shape[0]
+        if d == 0:
+            return a
+        return jnp.pad(a, ((0, d),) + ((0, 0),) * (a.ndim - 1))
+
+    return jnp.stack([pad(a) for a in xs])
+
+
 class HostStepInfo(NamedTuple):
     """StepInfo with numpy leaves (free host reads) + extras from the
     packed fetch."""
@@ -262,7 +285,12 @@ class SurfelSLAM:
     trajectories (``/root/reference/src/core/SurfelMapping.{h,cpp}``)."""
 
     def __init__(self, cfg: SumaConfig, enable_loop_closure: bool | None = None,
-                 pipeline_depth: int = 4, chunk_size: int = 4):
+                 pipeline_depth: int = 4, chunk_size: int = 1):
+        # chunk_size > 1 batches K scans per device program. On the remote
+        # tunnel this measures NO faster than per-scan dispatch (the
+        # backend stalls consuming live jit outputs across chunk
+        # boundaries), so it is off by default; on directly-attached
+        # chips/pods it cuts host RPCs by K.
         self.cfg = cfg
         self.state = init_state(cfg)
         self.pipeline_depth = max(0, pipeline_depth)
@@ -270,6 +298,7 @@ class SurfelSLAM:
         self._chunk_buf: list = []
         self._pending: "deque" = deque()
         self._dispatched = 0
+        self._spill_retry_blocks = 0
         # called with every finished scan's stats dict (pipelined/chunked
         # draining completes several scans per call, so return values alone
         # under-report; drivers that stream per-scan stats register here)
@@ -453,11 +482,8 @@ class SurfelSLAM:
                        else jnp.asarray(point_valid))
         bucket = -(-n // self._BUCKET) * self._BUCKET
         if bucket != n:
-            pad = bucket - n
-            points = jnp.pad(points, ((0, pad), (0, 0)))
-            labels = jnp.pad(labels, (0, pad))
-            probs = jnp.pad(probs, (0, pad))
-            point_valid = jnp.pad(point_valid, (0, pad))
+            points, labels, probs, point_valid = _pad_inputs(
+                points, labels, probs, point_valid, bucket)
         ct = self._conf_at(self._dispatched)
         self._dispatched += 1
         return points, labels, probs, point_valid, ct
@@ -483,23 +509,21 @@ class SurfelSLAM:
         self._chunk_buf = []
         if not entries:
             return
-        if len(entries) == 1:
-            self._dispatch_prepped(entries[0])
+        if len(entries) < self.chunk_size:
+            # partial chunk (end of sequence): dispatch per scan rather
+            # than compiling a fresh K<chunk_size program signature
+            for e in entries:
+                self._dispatch_prepped(e)
             return
         t_start = time.perf_counter()
         nmax = max(e[0].shape[0] for e in entries)
-
-        def pad_to(a, n):
-            d = n - a.shape[0]
-            if d == 0:
-                return a
-            widths = ((0, d),) + ((0, 0),) * (a.ndim - 1)
-            return jnp.pad(a, widths)
-
-        pts = jnp.stack([pad_to(e[0], nmax) for e in entries])
-        lab = jnp.stack([pad_to(e[1], nmax) for e in entries])
-        prb = jnp.stack([pad_to(e[2], nmax) for e in entries])
-        val = jnp.stack([pad_to(e[3], nmax) for e in entries])
+        # the pad+stack MUST be jitted: eager ops on not-yet-materialized
+        # remote-device arrays block on their inputs (~1 link round trip
+        # per operand), which measured 148 ms/scan vs 11.4 jitted
+        pts = _stack_padded(tuple(e[0] for e in entries), nmax)
+        lab = _stack_padded(tuple(e[1] for e in entries), nmax)
+        prb = _stack_padded(tuple(e[2] for e in entries), nmax)
+        val = _stack_padded(tuple(e[3] for e in entries), nmax)
         cts = jnp.asarray([e[4] for e in entries], jnp.float32)
         self.state, infos = odometry_chunk_fetch(
             self.state, pts, lab, prb, val, cts, self.cfg)
@@ -551,14 +575,21 @@ class SurfelSLAM:
                 self.state = self.state._replace(map=st)
                 self.map_version += 1
             # the pressure predicate runs on the cached fetch; the actual
-            # paging (rare) may sync internally
-            if free_rows < headroom or n_dropped:
+            # paging (rare) syncs internally — so a FUTILE attempt (under
+            # pressure but nothing beyond the keep radius) must not repeat
+            # every scan: retry only after the arena grew by a chunk
+            if (free_rows < headroom or n_dropped) \
+                    and info.block_count >= self._spill_retry_blocks:
                 st = self.spill.maybe_spill(self.state.map, pose[:3, 3],
                                             headroom_rows=headroom)
                 if st is not None:
                     self.state = self.state._replace(map=st)
                     self.map_version += 1
+                    self._spill_retry_blocks = 0
                     spilled = True  # maybe_spill compacts internally
+                else:
+                    self._spill_retry_blocks = (info.block_count
+                                                + self.spill.chunk_blocks)
         if not spilled and (info.map_count + (1 + lag) * hw > cap
                             or n_dropped):
             self.state = self.state._replace(
