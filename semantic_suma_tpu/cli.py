@@ -69,19 +69,27 @@ def save_map_ply(path: str, state, map_cfg, min_confidence: float = 0.0) -> None
     conf = np.asarray(d.confidence)[valid]
     lab = np.asarray(d.sem_label)[valid]
     rgb = label_colors(lab)
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n")
-        f.write(f"element vertex {pos.shape[0]}\n")
+    # binary PLY: the python per-line ASCII writer took minutes at map
+    # scale (2M surfels); the structured-array dump is one write
+    rec = np.empty(pos.shape[0], dtype=[
+        ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+        ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4"),
+        ("radius", "<f4"), ("confidence", "<f4"),
+        ("red", "u1"), ("green", "u1"), ("blue", "u1")])
+    rec["x"], rec["y"], rec["z"] = pos.T
+    rec["nx"], rec["ny"], rec["nz"] = nrm.T
+    rec["radius"], rec["confidence"] = rad, conf
+    rec["red"], rec["green"], rec["blue"] = rgb.T
+    with open(path, "wb") as f:
+        hdr = ("ply\nformat binary_little_endian 1.0\n"
+               f"element vertex {pos.shape[0]}\n")
         for c in ("x", "y", "z", "nx", "ny", "nz"):
-            f.write(f"property float {c}\n")
-        f.write("property float radius\nproperty float confidence\n")
-        f.write("property uchar red\nproperty uchar green\n"
+            hdr += f"property float {c}\n"
+        hdr += ("property float radius\nproperty float confidence\n"
+                "property uchar red\nproperty uchar green\n"
                 "property uchar blue\nend_header\n")
-        for i in range(pos.shape[0]):
-            f.write(f"{pos[i,0]:.4f} {pos[i,1]:.4f} {pos[i,2]:.4f} "
-                    f"{nrm[i,0]:.3f} {nrm[i,1]:.3f} {nrm[i,2]:.3f} "
-                    f"{rad[i]:.4f} {conf[i]:.3f} "
-                    f"{rgb[i,0]} {rgb[i,1]} {rgb[i,2]}\n")
+        f.write(hdr.encode())
+        f.write(rec.tobytes())
     print(f"wrote {pos.shape[0]} surfels to {path}")
 
 
@@ -92,14 +100,13 @@ def jax_tree_to_np(tree):
 
 def save_cloud_ply(path: str, cloud: np.ndarray) -> None:
     """Plain xyz point-cloud PLY (aggregated raw scans, no surfel attrs)."""
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n")
-        f.write(f"element vertex {cloud.shape[0]}\n")
-        for c in ("x", "y", "z"):
-            f.write(f"property float {c}\n")
-        f.write("end_header\n")
-        for p in cloud:
-            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+    with open(path, "wb") as f:
+        hdr = ("ply\nformat binary_little_endian 1.0\n"
+               f"element vertex {cloud.shape[0]}\n"
+               "property float x\nproperty float y\nproperty float z\n"
+               "end_header\n")
+        f.write(hdr.encode())
+        f.write(np.ascontiguousarray(cloud[:, :3], "<f4").tobytes())
     print(f"wrote {cloud.shape[0]} points to {path}")
 
 

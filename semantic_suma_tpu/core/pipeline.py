@@ -187,17 +187,22 @@ def _pack_step_info(info: StepInfo, block_count) -> jnp.ndarray:
                    for x in scalars])])
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def odometry_step_fetch(state: SlamState, points, labels, probs, point_valid,
                         conf_threshold, cfg: SumaConfig):
     """odometry_step + host-fetch packing: returns (new_state, packed[50])
-    so the driver needs exactly ONE device->host fetch per scan."""
+    so the driver needs exactly ONE device->host fetch per scan.
+
+    The input state is DONATED (callers always replace it): XLA reuses the
+    arena buffers in place instead of copying them per step — measured
+    84.6 -> 88.6 scans/s on v5e (the round-2 backend bug that forbade
+    donation is gone)."""
     new_state, info = odometry_step(state, points, labels, probs,
                                     point_valid, conf_threshold, cfg)
     return new_state, _pack_step_info(info, new_state.map.block_count)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def odometry_chunk_fetch(state: SlamState, points, labels, probs,
                          point_valid, conf_thresholds, cfg: SumaConfig):
     """K scans (leading axis) in ONE device program -> (state, [K, 50]).

@@ -62,7 +62,7 @@ def test_cli_stats_jsonl_and_cloud_ply(tmp_path, capsys):
     assert all(l["event"] == "scan" for l in lines)
     assert [l["idx"] for l in lines] == [0, 1, 2, 3]
     assert "icp-iterations" in lines[0]
-    header = ply.read_text().split("end_header")[0]
+    header = ply.read_bytes().split(b"end_header")[0].decode()
     n = int([l for l in header.splitlines()
              if l.startswith("element vertex")][0].split()[-1])
     assert n > 100
