@@ -42,7 +42,6 @@ from ..core import surfel_map as sm
 from ..core.preprocessing import preprocess_scan
 from ..ops import icp as icp_ops
 from ..ops.icp import Maps
-from ..ops.zbuffer import zbuffer_argmin
 from ..utils import lie
 
 try:  # JAX >= 0.6 exposes shard_map at the top level
