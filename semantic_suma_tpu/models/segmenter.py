@@ -285,11 +285,15 @@ def train_synthetic(cfg: DataConfig, *, n_train: int = 48, n_val: int = 8,
         total_steps=steps)
     step_fn = jax.jit(make_train_step(model, tx, class_weights=cw))
 
+    # pre-stage the training set ON DEVICE once: indexing host arrays per
+    # step re-uploads the batch every iteration (~4.6 MB/step — hundreds
+    # of ms through a remote link); a device-side gather is async and free
+    tr_i_d, tr_l_d, tr_v_d = (jnp.asarray(tr_i), jnp.asarray(tr_l),
+                              jnp.asarray(tr_v))
     rng = np.random.default_rng(seed)
     for it in range(steps):
-        sel = rng.integers(0, n_train, size=batch)
-        state, m = step_fn(state, jnp.asarray(tr_i[sel]),
-                           jnp.asarray(tr_l[sel]), jnp.asarray(tr_v[sel]))
+        sel = jnp.asarray(rng.integers(0, n_train, size=batch))
+        state, m = step_fn(state, tr_i_d[sel], tr_l_d[sel], tr_v_d[sel])
         if it % 50 == 0 or it == steps - 1:
             log(f"step {it}: loss={float(m['loss']):.3f} "
                 f"acc={float(m['accuracy']):.3f}")
