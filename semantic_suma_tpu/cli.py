@@ -231,6 +231,13 @@ def cmd_run(args) -> int:
         sps = (count - steady_at) / max(time.perf_counter() - t_steady, 1e-9)
         msg += f" [steady-state {sps:.2f} scans/s]"
     print(msg)
+    if args.verbose:
+        # per-stage wall-clock statistics (the reference's Stopwatch table,
+        # VisualizerWindow.cpp:874-890)
+        print(slam.stopwatch.report(), file=sys.stderr)
+    if evlog is not None:
+        evlog.log("stage-times", **{k: v["mean_ms"] for k, v in
+                                    slam.stopwatch.summary().items()})
 
     if args.save_checkpoint:
         from .utils.checkpoint import save_checkpoint

@@ -56,7 +56,9 @@ class IcpConfig:
     # "bilinear" smooths the objective at 4x the taps
     sampling: str = "nearest"
     initialize_identity: bool = False  # else constant-velocity init
-    cutoff_threshold: float = 10.0
+    # NOTE: the reference's ``cutoff_threshold`` parameter is intentionally
+    # absent: it is parsed (default.xml:21) but read by no shader or C++
+    # code — dead in the reference too, so it is not carried here.
     # track-loss fallback (frame-to-frame recovery), reference default.xml:42-44
     fallback_mode: bool = True
     fallback_max_distance: float = 0.5
@@ -114,6 +116,11 @@ class MapConfig:
     spill_chunk_blocks: int = 8         # whole blocks per spill chunk
     spill_margin: float = 25.0          # keep blocks within radius+margin
     unspill_margin: float = 25.0        # page back within radius+margin
+    # splat resolve window radius for model rendering: 1 = 3x3 (covers the
+    # creation-time footprint, <=1.41 px), 2 = 5x5 (covers near-field
+    # revisits where old surfels are seen much closer than created;
+    # reference render_surfels.geom:101-123 rasterizes true quads)
+    splat_resolve_radius: int = 1
 
     @property
     def log_prior(self) -> float:
@@ -164,6 +171,32 @@ class LoopClosureConfig:
     # the reference plumbs a pyramid but leaves it at level 0
     # (Frame2Model.cpp:127-129)
     search_levels: int = 3
+    # robust m-estimator on loop-closure pose-graph edges (the reference
+    # wraps factors in gtsam noiseModel::Robust when configured,
+    # Posegraph.cpp:49-60,122-123): "huber" | "dcs" | "none". Odometry
+    # edges stay Gaussian (they are trusted); one FALSE verified closure
+    # is damped instead of corrupting the whole trajectory. Default is
+    # DCS (redescending): measured on a 30-pose chain with one gross
+    # false closure, huber's constant-force pull still drags the endpoint
+    # ~37 m while dcs bounds the error at ~0 (tests/test_posegraph.py)
+    robust_kernel: str = "dcs"
+    robust_delta: float = 1.0           # kernel width in whitened-residual units
+    # pipelined (device-carried) verification: phase-A verify runs as a
+    # speculative per-scan device program chained off the odometry step so
+    # the driver never drains the pipeline for a live candidate chain
+    # (the reference overlaps this work with tracking the same way its
+    # async GTSAM thread overlaps optimization, SurfelMapping.cpp:655-660)
+    pipelined_verification: bool = True
+    # run the pose-graph optimization on a background host thread and
+    # integrate the result on a later scan (integrateLoopClosures,
+    # SurfelMapping.cpp:212-253) instead of blocking the scan loop
+    async_optimize: bool = True
+    # skip the device rebase (pose-table rewrite + model re-render) when
+    # the optimization moved the current pose by less than these gates;
+    # the host pose log still takes the optimized values, and any skipped
+    # correction is re-applied by the next above-gate rebase
+    rebase_gate_translation: float = 0.02   # meters
+    rebase_gate_rotation: float = 0.002     # radians
 
 
 @dataclass(frozen=True)
@@ -262,7 +295,6 @@ _XML_MAP: Dict[str, Tuple[str, str]] = {
     "weighting": ("icp", "weighting"),
     "factor": ("icp", "factor"),
     "initialize_identity": ("icp", "initialize_identity"),
-    "cutoff_threshold": ("icp", "cutoff_threshold"),
     "fallback_mode": ("icp", "fallback_mode"),
     "fallback-max-distance": ("icp", "fallback_max_distance"),
     "fallback-max-angle": ("icp", "fallback_max_angle"),

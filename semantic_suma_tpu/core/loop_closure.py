@@ -162,9 +162,14 @@ class LoopCloser:
 
     def __post_init__(self):
         self.posegraph.set_initial(0, np.eye(4))
+        # diagonal information in [v, omega] residual order
+        # (SurfelMapping.cpp:462-467 builds the same from the config's
+        # odometry information entries)
         info = np.ones(6, np.float32)
-        info[:3] *= self.cfg.odometry_info_translation ** -2 \
-            if self.cfg.odometry_info_translation else 1.0
+        if self.cfg.odometry_info_translation:
+            info[:3] *= self.cfg.odometry_info_translation ** -2
+        if self.cfg.odometry_info_rotation:
+            info[3:] *= self.cfg.odometry_info_rotation ** -2
         self._info = info
         self._fused = None
         self._pre = None
@@ -468,7 +473,7 @@ class LoopCloser:
                 self.loop_count += 1
                 self.num_loop_closures += 1
             self.posegraph.add_edge(cand.frm, cand.to, cand.rel_pose,
-                                    self._info)
+                                    self._info, robust=True)
         self.verified.clear()
 
         # ---- optimize (synchronous) --------------------------------------
@@ -609,7 +614,8 @@ class LoopCloser:
         the driver's ``rebase`` — sharded drivers run it per shard."""
         ts = slam.timestamp - 1
         before_pose = self.posegraph.pose(ts).copy()
-        self.posegraph.optimize()
+        self.posegraph.optimize(robust_kernel=self.cfg.loop.robust_kernel,
+                                robust_delta=self.cfg.loop.robust_delta)
         self.num_optimizations += 1
         self.loop_count = 0
 

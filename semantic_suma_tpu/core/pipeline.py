@@ -298,6 +298,12 @@ class SurfelSLAM:
         # chips/pods it cuts host RPCs by K.
         self.cfg = cfg
         self.state = init_state(cfg)
+        # per-stage wall-clock statistics (the reference wraps every
+        # pipeline stage in rv::Stopwatch tic/toc, SurfelMapping.cpp:
+        # 176-208; here the stages are host-visible phases — device work
+        # inside the fused step is attributed by bench.py differencing)
+        from ..utils.timing import Stopwatch
+        self.stopwatch = Stopwatch()
         self.pipeline_depth = max(0, pipeline_depth)
         self.chunk_size = max(1, chunk_size)
         self._chunk_buf: list = []
@@ -507,6 +513,7 @@ class SurfelSLAM:
         except AttributeError:  # pragma: no cover - non-array backends
             pass
         self._pending.append((packed, t_start, 1))
+        self.stopwatch.record("dispatch", time.perf_counter() - t_start)
 
     def _dispatch_chunk(self) -> None:
         """Stack the buffered scans and run them as ONE device program."""
@@ -546,7 +553,9 @@ class SurfelSLAM:
     def _drain_one(self) -> dict:
         packed, t_start, rows = self._pending.popleft()
         # the ONLY synchronous device->host transfer of the chunk
+        t_f = time.perf_counter()
         arr = np.asarray(packed)
+        self.stopwatch.record("fetch-wait", time.perf_counter() - t_f)
         if rows == 1 and arr.ndim == 1:
             return self._finish_host(arr, t_start)
         stats = None
@@ -624,8 +633,11 @@ class SurfelSLAM:
             loop_stats = self._loop.on_scan(self, info,
                                             lag=self._inflight())
             stats.update(loop_stats)
+            if "loop-time" in loop_stats:
+                self.stopwatch.record("loop", loop_stats["loop-time"])
 
         stats["complete-time"] = time.perf_counter() - t_start
+        self.stopwatch.record("complete", stats["complete-time"])
         self.statistics.append(stats)
         if self.stats_callback is not None:
             self.stats_callback(stats)

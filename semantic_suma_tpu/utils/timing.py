@@ -38,6 +38,12 @@ class Stopwatch:
     def tic(self) -> None:
         self._stack.append(time.perf_counter())
 
+    def record(self, label: str, elapsed: float) -> None:
+        """Attribute an externally-measured duration to ``label`` (for
+        stages whose timing is produced elsewhere, e.g. the loop-closure
+        state machine's own phase timer)."""
+        self._record(label, elapsed)
+
     def toc(self, label: Optional[str] = None) -> float:
         elapsed = time.perf_counter() - self._stack.pop()
         if label is not None:

@@ -57,11 +57,14 @@ def test_cli_stats_jsonl_and_cloud_ply(tmp_path, capsys):
     assert main(small_args(tmp_path, [
         "--synthetic", "4", "--stats-json", str(sj),
         "--save-cloud", str(ply)])) == 0
-    lines = [json.loads(l) for l in sj.read_text().splitlines() if l.strip()]
+    records = [json.loads(l) for l in sj.read_text().splitlines() if l.strip()]
+    lines = [l for l in records if l["event"] == "scan"]
     assert len(lines) == 4
-    assert all(l["event"] == "scan" for l in lines)
     assert [l["idx"] for l in lines] == [0, 1, 2, 3]
     assert "icp-iterations" in lines[0]
+    # one per-stage timing summary record (the reference's Stopwatch table)
+    stages = [l for l in records if l["event"] == "stage-times"]
+    assert len(stages) == 1 and "dispatch" in stages[0]
     header = ply.read_bytes().split(b"end_header")[0].decode()
     n = int([l for l in header.splitlines()
              if l.startswith("element vertex")][0].split()[-1])
