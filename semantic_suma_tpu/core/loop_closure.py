@@ -150,15 +150,41 @@ class LoopCloser:
     # set when a device-dependent phase was deferred because scans were in
     # flight; the driver must drain the pipeline and run synchronously
     sync_request: bool = False
+    # set by drivers that support the device-carried verification chain
+    # (dispatch_verify); leaves the pipeline running through live
+    # candidate chains instead of draining per scan
+    pipelined_ok: bool = False
+
+    @property
+    def chain_live(self) -> bool:
+        return bool(self.unverified or self.already_verified)
 
     @property
     def sync_needed(self) -> bool:
         """True when the next scan's on_scan may touch device state that
-        must be exactly current (live verification chain, pending graph
-        optimization, or a deferred candidate search) — the pipelined
-        driver drains all in-flight scans first and runs synchronously."""
-        return bool(self.unverified or self.already_verified
-                    or self.loop_count > 0 or self.sync_request)
+        must be exactly current — the pipelined driver drains all
+        in-flight scans first and runs synchronously. With the pipelined
+        verification chain (pipelined_ok) a live candidate chain no
+        longer forces draining (verification is a speculative per-scan
+        device program chained off the odometry step), and with
+        async_optimize the graph solve runs on a background thread — only
+        an explicitly deferred phase (candidate search, sync-mode
+        optimization) drains."""
+        if self.sync_request:
+            return True
+        if self.chain_live and not self.pipelined_ok:
+            return True
+        if self.loop_count > 0 and not self.cfg.loop.async_optimize:
+            return True
+        return False
+
+    @property
+    def needs_integration(self) -> bool:
+        """A background graph optimization finished and awaits integration
+        (drivers poll this at dispatch boundaries, the way the reference
+        polls its std::async future at the top of processScan,
+        SurfelMapping.cpp:176-179)."""
+        return self._opt_future is not None and self._opt_future.done()
 
     def __post_init__(self):
         self.posegraph.set_initial(0, np.eye(4))
@@ -173,6 +199,16 @@ class LoopCloser:
         self._info = info
         self._fused = None
         self._pre = None
+        # pipelined verification chain state: FIFO of (dispatch index,
+        # packed device vec) + the device-resident pose_old carry
+        from collections import deque
+        self._verify_queue: "deque" = deque()
+        self._pose_old_dev = None
+        # async graph optimization (reference SurfelMapping.cpp:655-660)
+        self._opt_future = None
+        self._opt_ts = -1
+        self._opt_before = None
+        self._executor = None
 
     # ------------------------------------------------------------------
     def pre_dispatch(self, slam) -> None:
@@ -190,7 +226,13 @@ class LoopCloser:
             return
         if self._fused is None:
             self._build_fused()
-        view, thr = slam.old_view(self.pose_old)
+        # the scan's explicit dispatch count (== len(poses)+1 == the
+        # timestamp the drain-time fallback path would read), so the
+        # speculative and fallback verifications use identical inputs
+        # (advisor r4)
+        view, thr = slam.old_view(self.pose_old,
+                                  timestamp=getattr(slam, "_dispatched",
+                                                    slam.timestamp))
         vec, comp = self._fused[0](
             view, jnp.asarray(thr, jnp.int32),
             jnp.asarray(self.pose_old, jnp.float32),
@@ -202,6 +244,43 @@ class LoopCloser:
         except AttributeError:  # pragma: no cover
             pass
         self._pre = (vec, comp)
+
+    # ------------------------------------------------------------------
+    def dispatch_verify(self, slam, idx: int) -> None:
+        """Pipelined phase-A verification for scan ``idx``: dispatched
+        right after the scan's odometry step, with the pose_old anchor
+        CARRIED ON DEVICE between consecutive dispatches (the host gates
+        are folded into the device program), so a live candidate chain no
+        longer drains the pipeline — the redesign of the r4 sync-drain
+        protocol that cost 88% loop-closure overhead. The packed result
+        vec is consumed by on_scan when the scan drains; the composed
+        old+new model render replaces the model maps immediately (device
+        reference, zero host work), giving composed tracking for the next
+        scan exactly like the hybrid path did."""
+        if self._fused is None:
+            self._build_fused()
+        if self._pose_old_dev is None:
+            # seed the carry from the host anchor (chain start; host poses
+            # are device-frame @ frame_correction)
+            corr = getattr(slam, "frame_correction", None)
+            anchor = self.pose_old
+            if corr is not None:
+                anchor = np.linalg.inv(corr) @ anchor
+            self._pose_old_dev = jnp.asarray(anchor, jnp.float32)
+        view, thr = slam.old_view(self.pose_old, timestamp=idx + 1)
+        vec, comp_out, pose_old_next = self._fused[2](
+            view, jnp.asarray(thr, jnp.int32), self._pose_old_dev,
+            slam.last_maps, slam.model_maps,
+            jnp.asarray(slam.last_increment), jnp.asarray(slam.pose),
+            jnp.asarray(slam._conf_at(idx), jnp.float32))
+        try:
+            vec.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        self._pose_old_dev = pose_old_next
+        self._verify_queue.append((idx, vec))
+        if self.cfg.loop.compose_rendering:
+            slam.set_model_maps(comp_out)
 
     # ------------------------------------------------------------------
     def _build_fused(self):
@@ -257,6 +336,53 @@ class LoopCloser:
                 pose_old_new.reshape(-1)])                # 34:50
             return vec, comp
 
+        lcfg = cfg.loop
+
+        @jax.jit
+        def verify_chain(view, thr, pose_old_prev, data_maps, model_maps,
+                         inc, odo_pose, conf):
+            """Device-carried phase-A verification: like ``verify`` but the
+            host gates (SurfelMapping.cpp:567) are evaluated ON DEVICE and
+            select the next pose_old carry, so consecutive verifications
+            chain dispatch-to-dispatch with zero host round trips — the
+            pipelined driver keeps scans in flight through a live candidate
+            chain instead of draining per scan. Returns
+            (vec[51], composed-model maps, pose_old_next)."""
+            old_maps = render_old(view, pose_old_prev, conf, thr)
+            res = icp_ops.gauss_newton(data_maps, old_maps, inc, icp_cfg,
+                                       model_cfg, semantic=sem)
+            inc_old = res.pose.astype(jnp.float32)
+            pose_old_new = pose_old_prev @ inc_old
+            st = res.stats
+            orr = st.outlier / jnp.maximum(st.outlier + st.inlier, 1.0)
+            vr = st.valid / jnp.maximum(st.valid + st.invalid, 1.0)
+            inc_diff = jnp.linalg.norm(
+                lie.se3_log(inc.astype(jnp.float32)) - lie.se3_log(inc_old))
+            gates = (vr > lcfg.min_valid_ratio) \
+                & (orr < lcfg.max_outlier_ratio) \
+                & (inc_diff < lcfg.max_increment_difference)
+            old2 = render_old(view, pose_old_new, conf, thr)
+            comp = sm.compose_views(old2, model_maps, maxd)
+            cstats = icp_ops.evaluate(eye, data_maps, comp, icp_cfg,
+                                      model_cfg, semantic=sem)
+            pose_old_next = jnp.where(gates, pose_old_new, odo_pose)
+            # composed tracking output (SurfelMapping.cpp:351): compose at
+            # the verified anchor on success; at the previous anchor's
+            # render on gate failure (the reference composes whenever a
+            # candidate is live — one-scan anchor staleness is within the
+            # old-map cache's documented tolerance)
+            comp_fail = sm.compose_views(old_maps, model_maps, maxd)
+            comp_out = jax.tree.map(lambda a, b: jnp.where(gates, a, b),
+                                    comp, comp_fail)
+            vec = jnp.concatenate([
+                inc_old.reshape(-1),                      # 0:16
+                lie.se3_log(inc_old).reshape(-1),         # 16:22
+                stats_vec(res.stats),                     # 22:28
+                stats_vec(cstats),                        # 28:34
+                pose_old_new.reshape(-1),                 # 34:50
+                gates.astype(jnp.float32).reshape(1)])    # 50
+            return vec, comp_out, pose_old_next
+
         @jax.jit
         def search(view, thr, pose_prior, inits, data_maps, model_maps,
                    conf):
@@ -275,7 +401,7 @@ class LoopCloser:
                     stats_vec(cstats)]))                  # 22:28
             return jnp.stack(rows)                        # [3, 28]
 
-        self._fused = (verify, search)
+        self._fused = (verify, search, verify_chain)
 
     # ------------------------------------------------------------------
     def _ratios(self, stats: icp_ops.IcpStats):
@@ -388,7 +514,40 @@ class LoopCloser:
 
         # ---- phase A: verify pending candidates --------------------------
         self._last_comp = None
-        if (self.unverified or self.already_verified) and lag > 0:
+        qvec = None
+        while self._verify_queue and self._verify_queue[0][0] < ts:
+            self._verify_queue.popleft()  # stale entries (chain restarted)
+        if self._verify_queue and self._verify_queue[0][0] == ts:
+            qvec = np.asarray(self._verify_queue.popleft()[1])
+        if self.chain_live and qvec is not None:
+            # pipelined path: the verification ran on device when this scan
+            # was dispatched (dispatch_verify); only host bookkeeping here.
+            # Works at ANY lag — the device carry kept the chain exact.
+            corr = getattr(slam, "frame_correction", None)
+            pose_old_new = qvec[34:50].reshape(4, 4).copy()
+            if corr is not None:
+                pose_old_new = corr @ pose_old_new
+            gates_ok = qvec[50] > 0
+            verified_this_scan = False
+            if gates_ok:
+                cstats = icp_ops.IcpStats(*[float(x) for x in qvec[28:34]])
+                _, _, res_old = self._ratios(cstats)
+                rel_error = res_old / max(res_new, 1e-12)
+                self.pose_old = pose_old_new
+                if rel_error < cfg.residual_threshold or \
+                        (res_old - res_new) < cfg.residual_margin:
+                    self.time_without_loop = 0
+                    to = self._closest_index(slam, pose_old_new)
+                    if to > -1:
+                        cand = LoopClosureCandidate(
+                            frm=ts, to=to,
+                            rel_pose=np.linalg.inv(pose_old_new)
+                            @ self.posegraph.pose(to))
+                        (self.verified if self.already_verified
+                         else self.unverified).append(cand)
+                        verified_this_scan = True
+            stats["loop-verifying"] = verified_this_scan
+        elif self.chain_live and lag > 0:
             deferred = True  # driver recovers via sync_needed next scan
         elif self.unverified or self.already_verified:
             inc_log = getattr(info, "inc_log", None)
@@ -476,10 +635,16 @@ class LoopCloser:
                                     self._info, robust=True)
         self.verified.clear()
 
-        # ---- optimize (synchronous) --------------------------------------
+        # ---- optimize ----------------------------------------------------
+        # async (default): clone the graph and solve on a background host
+        # thread, integrating the result on a later scan — the reference's
+        # std::async protocol (SurfelMapping.cpp:655-660 + 212-253). The
+        # launch itself is host-only, so it works at any pipeline lag.
         if (self.loop_count > 6) or \
                 (self.loop_count > 0 and self.time_without_loop > 3):
-            if lag > 0:
+            if self.cfg.loop.async_optimize:
+                self._launch_optimize()
+            elif lag > 0:
                 deferred = True
             else:
                 self._optimize_and_rebase(slam)
@@ -488,6 +653,7 @@ class LoopCloser:
         if self.time_without_loop > 3:
             self.unverified.clear()
             self.already_verified = False
+            self._pose_old_dev = None  # next chain re-seeds the carry
             if lag > 0:
                 # the search ICP needs THIS scan's data maps on device;
                 # with scans in flight, only check the (host-side) trigger
@@ -506,7 +672,8 @@ class LoopCloser:
         # (SurfelMapping.cpp:351 -> SurfelMap::render(pose_old, pose_new)
         # + render_compose.frag:26-48), so odometry keeps tracking against
         # the old map through the verification window.
-        if cfg.compose_rendering and (self.unverified or self.already_verified):
+        if cfg.compose_rendering and qvec is None and lag == 0 \
+                and (self.unverified or self.already_verified):
             if self._last_comp is not None and np.array_equal(
                     self.pose_old, self._last_comp_pose):
                 # the fused verify already composed old@pose_old with this
@@ -607,6 +774,104 @@ class LoopCloser:
         return True
 
     # ------------------------------------------------------------------
+    def _launch_optimize(self) -> None:
+        """Launch the pose-graph solve on a background thread over a CLONE
+        of the graph (reference: Posegraph::clone + std::async,
+        SurfelMapping.cpp:655-660). One optimization in flight at a time;
+        the scan loop keeps adding odometry/loop edges to the LIVE graph,
+        which the next optimization picks up."""
+        if self._opt_future is not None:
+            return
+        snap = self.posegraph.clone()
+        self._opt_ts = len(snap._poses) - 1
+        self._opt_before = snap.pose(self._opt_ts).copy()
+        self.loop_count = 0
+        kern = self.cfg.loop.robust_kernel
+        delta = self.cfg.loop.robust_delta
+        if self._executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="posegraph-opt")
+
+        def work():
+            snap.optimize(robust_kernel=kern, robust_delta=delta)
+            return snap
+
+        self._opt_future = self._executor.submit(work)
+
+    def integrate(self, slam) -> bool:
+        """Integrate a finished background optimization: merge the
+        optimized clone into the live graph (poses tracked since the
+        snapshot are rebased by ``difference = opt[snap] @ before^-1`` —
+        integrateLoopClosures, SurfelMapping.cpp:212-253), then either
+        (a) correction below the rebase gates: update host poses only and
+        fold the correction into ``slam.frame_correction`` (applied to
+        every subsequently fetched device pose; the device map stays in
+        its old frame within the gate bound), or (b) drain the pipeline
+        and run the full device rebase (pose-table rewrite + model
+        re-render). Drivers call this at dispatch boundaries when
+        ``needs_integration``. Returns True if anything was integrated."""
+        if self._opt_future is None or not self._opt_future.done():
+            return False
+        snap = self._opt_future.result()
+        self._opt_future = None
+        self.num_optimizations += 1
+        ts_snap = self._opt_ts
+        difference = (snap.pose(ts_snap)
+                      @ np.linalg.inv(self._opt_before)).astype(np.float32)
+        # merge into the live graph
+        live = self.posegraph._poses
+        for i in range(len(live)):
+            if i <= ts_snap:
+                live[i] = snap.pose(i)
+            else:
+                live[i] = difference @ live[i]
+        corr_old = getattr(slam, "frame_correction", np.eye(4, dtype=np.float32))
+        corr_new = (difference @ corr_old).astype(np.float32)
+
+        # accumulated device<->output divergence AT the current pose
+        cur_out = slam.poses[-1]
+        cur_dev = np.linalg.inv(corr_old) @ cur_out
+        moved = corr_new @ cur_dev
+        t_acc = float(np.linalg.norm(moved[:3, 3] - cur_dev[:3, 3]))
+        r_acc = float(np.arccos(np.clip(
+            (np.trace(corr_new[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
+        lcfg = self.cfg.loop
+        if t_acc < lcfg.rebase_gate_translation \
+                and r_acc < lcfg.rebase_gate_rotation:
+            # (a) below-gate: host-only integration
+            slam.frame_correction = corr_new
+            for i in range(min(len(live), len(slam.poses))):
+                slam.poses[i] = live[i]
+            self._rewrite_trajectory_distances(slam)
+            if self.pose_old is not None:
+                self.pose_old = difference @ self.pose_old
+            return True
+        # (b) full device rebase: needs an empty pipeline
+        slam.flush()
+        opt = np.stack(self.posegraph.poses())
+        new_current = difference @ np.asarray(slam.poses[-1])
+        slam.rebase(opt, new_current)
+        slam.frame_correction = np.eye(4, dtype=np.float32)
+        self._pose_old_dev = None
+        self.pose_old = new_current.copy()
+        for i in range(min(len(opt), len(slam.poses))):
+            slam.poses[i] = opt[i]
+        self._rewrite_trajectory_distances(slam)
+        return True
+
+    def _rewrite_trajectory_distances(self, slam) -> None:
+        dist = 0.0
+        slam.trajectory_distances[0] = 0.0
+        for i in range(1, len(slam.poses)):
+            dist += float(np.linalg.norm(slam.poses[i][:3, 3]
+                                         - slam.poses[i - 1][:3, 3]))
+            if i < len(slam.trajectory_distances):
+                slam.trajectory_distances[i] = dist
+            else:  # pragma: no cover - defensive
+                slam.trajectory_distances.append(dist)
+
+    # ------------------------------------------------------------------
     def _optimize_and_rebase(self, slam) -> None:
         """Optimize the graph and rebase the live state (the synchronous
         version of integrateLoopClosures, SurfelMapping.cpp:212-253). The
@@ -624,14 +889,12 @@ class LoopCloser:
 
         opt = np.stack(self.posegraph.poses())
         slam.rebase(opt, new_current)
+        if hasattr(slam, "frame_correction"):
+            slam.frame_correction = np.eye(4, dtype=np.float32)
+        self._pose_old_dev = None
 
         # rewrite host pose log + trajectory distances
         for i in range(min(len(opt), len(slam.poses))):
             slam.poses[i] = self.posegraph.pose(i)
-        dist = 0.0
-        slam.trajectory_distances[0] = 0.0
-        for i in range(1, len(slam.poses)):
-            dist += float(np.linalg.norm(slam.poses[i][:3, 3]
-                                         - slam.poses[i - 1][:3, 3]))
-            slam.trajectory_distances[i] = dist
+        self._rewrite_trajectory_distances(slam)
         self.pose_old = new_current.copy()

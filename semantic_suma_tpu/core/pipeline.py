@@ -320,6 +320,11 @@ class SurfelSLAM:
         self.track_loss_count = 0
         self.map_version = 0  # bumped on compaction / pose rebase
         self.creations_dropped = 0
+        # device-frame -> output-frame pose correction: identity except
+        # after a below-gate async-optimize integration deferred the
+        # device rebase (LoopCloser.integrate); applied to every fetched
+        # pose so the exported trajectory is always the optimized one
+        self.frame_correction = np.eye(4, dtype=np.float32)
         self._loop = None
         self._old_cache = None
         self.spill = None
@@ -334,6 +339,8 @@ class SurfelSLAM:
         if do_loops and cfg.approach == "frame-to-model":
             from .loop_closure import LoopCloser
             self._loop = LoopCloser(cfg)
+            # this driver supports the device-carried verification chain
+            self._loop.pipelined_ok = cfg.loop.pipelined_verification
 
         # jitted wrappers for the out-of-band map ops (loop closure,
         # rebase, compaction). The surfel_map functions are pure but not
@@ -408,11 +415,16 @@ class SurfelSLAM:
                 delta_timestamp=self.cfg.loop.delta_timestamp)
         return self._old_cache
 
-    def old_view(self, view_pose):
+    def old_view(self, view_pose, timestamp: int | None = None):
         """Cached old-map device VIEW around ``view_pose`` -> (view, thr);
-        input to the LoopCloser's fused verify/search programs."""
+        input to the LoopCloser's fused verify/search programs.
+        ``timestamp`` defaults to the drain count; speculative dispatches
+        pass their explicit dispatch count so pre-dispatched and fallback
+        verification use identical ts thresholds (advisor r4)."""
         cache = self._ready_old_cache(view_pose)
-        return cache.view_for(view_pose, self.timestamp, self.map_version)
+        return cache.view_for(
+            view_pose, self.timestamp if timestamp is None else timestamp,
+            self.map_version)
 
     def render_old_maps(self, view_pose):
         """Cached old-(inactive-)map render at ``view_pose`` (loop-closure
@@ -565,6 +577,9 @@ class SurfelSLAM:
 
     def _finish_host(self, vec: np.ndarray, t_start: float) -> dict:
         info = _unpack_step_info(vec)
+        # map device-frame poses to the output frame (identity unless a
+        # below-gate integration deferred the device rebase)
+        info = info._replace(pose=self.frame_correction @ info.pose)
         lag = self._inflight()  # scans dispatched after this one
 
         # near-capacity policy: first page far blocks to host RAM (the
@@ -648,8 +663,19 @@ class SurfelSLAM:
         Fully synchronous: result belongs to THIS scan."""
         self._dispatch(points, labels, probs, point_valid)
         if self._loop is not None:
-            self._loop.pre_dispatch(self)
-        return self._drain_one()
+            if self._loop.chain_live and self._loop.pipelined_ok:
+                self._loop.dispatch_verify(self, self._dispatched - 1)
+            else:
+                self._loop.pre_dispatch(self)
+        out = self._drain_one()
+        if self._loop is not None and self._loop._opt_future is not None:
+            # synchronous mode keeps the reference-equivalent ordering:
+            # an optimization launched by this scan integrates before the
+            # next scan (the background thread only hides the solve in
+            # the PIPELINED path)
+            self._loop._opt_future.result()
+            self._loop.integrate(self)
+        return out
 
     def process_scan_async(self, points, labels=None, probs=None,
                            point_valid=None):
@@ -659,12 +685,15 @@ class SurfelSLAM:
         Hides the device->host round trip behind in-flight device work —
         measured 10.5 -> ~83 scans/s on the remote-tunnel TPU.
 
-        Loop-closure runs are hybrid: while the state machine is provably
-        idle (no live candidate, no pending optimization, no nearby old
-        pose) scans pipeline at full depth; when ``LoopCloser.sync_needed``
-        turns on, the pipeline drains and each scan runs synchronously so
-        verification/search/rebase see exactly-current device state.
-        Call :meth:`flush` after the last scan."""
+        Loop-closure runs stay pipelined through live candidate chains:
+        verification is a speculative per-scan device program whose
+        pose_old anchor is CARRIED ON DEVICE between dispatches
+        (LoopCloser.dispatch_verify), and graph optimization runs on a
+        background thread with deferred integration — so the pipeline
+        only drains for a candidate SEARCH (rare: chain starts) and for
+        above-gate rebases. Call :meth:`flush` after the last scan."""
+        if self._loop is not None and self._loop.needs_integration:
+            self._loop.integrate(self)  # drains internally if it rebases
         if self._loop is None and self.chunk_size > 1:
             # odometry fast path: batch scans into chunk_size-scan device
             # programs (one dispatch per chunk)
@@ -677,21 +706,31 @@ class SurfelSLAM:
                 out = self._drain_one()
             return out
         self._dispatch(points, labels, probs, point_valid)
-        if self._loop is not None and self._loop.sync_needed:
-            self._loop.pre_dispatch(self)
-            return self.flush()
+        if self._loop is not None:
+            if self._loop.chain_live and self._loop.pipelined_ok:
+                self._loop.dispatch_verify(self, self._dispatched - 1)
+                if self._loop.sync_needed:  # deferred search pending
+                    return self.flush()
+            elif self._loop.sync_needed:
+                self._loop.pre_dispatch(self)
+                return self.flush()
         if len(self._pending) > self.pipeline_depth:
             return self._drain_one()
         return None
 
     def flush(self):
-        """Drain all in-flight (and still-buffered) scans; returns the
-        last stats dict or None."""
+        """Drain all in-flight (and still-buffered) scans; then integrate
+        any finished (or still-running: the solve is ms-scale on the local
+        CPU) background graph optimization. Returns the last stats dict
+        or None."""
         if self._chunk_buf:
             self._dispatch_chunk()
         out = None
         while self._pending:
             out = self._drain_one()
+        if self._loop is not None and self._loop._opt_future is not None:
+            self._loop._opt_future.result()  # wait; integration is cheap
+            self._loop.integrate(self)
         return out
 
     def trajectory(self) -> np.ndarray:

@@ -1104,14 +1104,29 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
     combined = jnp.concatenate(
         [new_data.f,
          jax.lax.bitcast_convert_type(new_data.i, jnp.float32)], axis=-1)
-    g = combined[perm[:mc_eff]]         # creations first, pixel order kept
-    block = PackedSurfels(
-        f=g[:, :NUM_F],
-        i=jax.lax.bitcast_convert_type(g[:, NUM_F:], jnp.int32))
     n_new = jnp.sum(create)
 
     n_chunks = 4 if mc_eff % 4 == 0 else 1
     ch = mc_eff // n_chunks
+    if n_chunks > 1:
+        # two-tier gather: the first chunk covers the steady-state creation
+        # count (hundreds/scan); the [mc_eff - ch, 20] tail gather only
+        # runs on the rare scans that create more than one chunk (first
+        # scans, new-area entry) — row gathers are row-count-bound, so
+        # skipping 3/4 of the rows in steady state saves most of the
+        # creation path's gather cost
+        g0 = combined[perm[:ch]]
+        g1 = jax.lax.cond(
+            n_new > ch,
+            lambda: combined[perm[ch:mc_eff]],
+            lambda: jnp.zeros((mc_eff - ch, combined.shape[1]),
+                              combined.dtype))
+        g = jnp.concatenate([g0, g1])
+    else:
+        g = combined[perm[:mc_eff]]     # creations first, pixel order kept
+    block = PackedSurfels(
+        f=g[:, :NUM_F],
+        i=jax.lax.bitcast_convert_type(g[:, NUM_F:], jnp.int32))
     chunks_needed = (n_new + ch - 1) // ch
     # The append also has to land on REAL arena blocks: once the arena is
     # exhausted the refresh assigns pad fresh ids (>= nb) whose writeback is

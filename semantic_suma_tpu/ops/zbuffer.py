@@ -158,11 +158,18 @@ def zbuffer_runs(ids: jnp.ndarray, depth: jnp.ndarray,
     pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
     is_real = ((sorted_pay >> 30) & 1) == 0
 
-    # first flagged real position at-or-after each row (reverse cummin)
+    # first flagged real position at-or-after each row: ONE reverse cummin
+    # over a [K, m] array instead of K separate [m] scans — positions ride
+    # the lane axis, so all flags share the same log-shift passes (a [2, m]
+    # scan costs the same tile traffic as a [1, m] scan)
     nxts = []
-    for k in range(len(flags)):
-        fbit = is_real & (((sorted_pay >> (29 - k)) & 1) > 0)
-        nxts.append(jax.lax.cummin(jnp.where(fbit, pos, m), reverse=True))
+    if flags:
+        fb = jnp.stack([
+            jnp.where(is_real & (((sorted_pay >> (29 - k)) & 1) > 0),
+                      pos, m)
+            for k in range(len(flags))], axis=0)          # [K, m]
+        nxt_all = jax.lax.cummin(fb, axis=1, reverse=True)
+        nxts = [nxt_all[k] for k in range(len(flags))]
 
     # compact the sentinel POSITIONS (already in cell order) to the front
     # with one stable 1-bit-key sort; every per-cell answer then follows

@@ -387,6 +387,9 @@ class ShardedSurfelSLAM:
         self.statistics: list[dict] = []
         self.trajectory_distances: list[float] = [0.0]
         self.map_version = 0
+        # device->output frame correction (below-gate async-optimize
+        # integrations; see pipeline.SurfelSLAM.frame_correction)
+        self.frame_correction = np.eye(4, dtype=np.float32)
 
     @property
     def timestamp(self) -> int:
@@ -493,14 +496,25 @@ class ShardedSurfelSLAM:
                      point_valid=None) -> dict:
         """Feed one scan synchronously (result belongs to THIS scan)."""
         self._dispatch(points, labels, probs, point_valid)
-        return self._drain_one()
+        out = self._drain_one()
+        if self._loop is not None and self._loop._opt_future is not None:
+            # sync mode integrates an optimization before the next scan
+            # (mirrors pipeline.SurfelSLAM.process_scan)
+            self._loop._opt_future.result()
+            self._loop.integrate(self)
+        return out
 
     def process_scan_async(self, points, labels=None, probs=None,
                            point_valid=None):
         """Pipelined multi-chip driving: up to ``pipeline_depth`` scans in
         flight; loop-closure runs drain to synchronous execution whenever
-        the state machine is active (same hybrid protocol as the
-        single-chip driver). Call :meth:`flush` after the last scan."""
+        the state machine is active (hybrid protocol; this driver renders
+        through collectives, so it does not use the single-chip
+        device-carried verification chain). Graph optimization still runs
+        on the background thread with deferred integration. Call
+        :meth:`flush` after the last scan."""
+        if self._loop is not None and self._loop.needs_integration:
+            self._loop.integrate(self)
         self._dispatch(points, labels, probs, point_valid)
         if self._loop is not None and self._loop.sync_needed:
             return self.flush()
@@ -512,11 +526,14 @@ class ShardedSurfelSLAM:
         out = None
         while self._pending:
             out = self._drain_one()
+        if self._loop is not None and self._loop._opt_future is not None:
+            self._loop._opt_future.result()
+            self._loop.integrate(self)
         return out
 
     def _drain_one(self) -> dict:
         vec = np.asarray(self._pending.popleft())
-        pose = vec[:16].reshape(4, 4).copy()
+        pose = self.frame_correction @ vec[:16].reshape(4, 4)
         increment_np = vec[16:32].reshape(4, 4).copy()
         inc_log_np = vec[32:38].copy()
         t = vec[38:]

@@ -49,6 +49,11 @@ def save_checkpoint(slam, path: str, compact_map: bool = True) -> None:
         "trajectory_distances": slam.trajectory_distances,
         "track_loss_count": slam.track_loss_count,
         "statistics": slam.statistics,
+        # device->output correction pending from a below-gate async
+        # integration (identity in the common case)
+        "frame_correction": np.asarray(
+            getattr(slam, "frame_correction",
+                    np.eye(4, dtype=np.float32))).tolist(),
     }
     loop_blob = b""
     if slam._loop is not None:
@@ -107,6 +112,9 @@ def load_checkpoint(path: str, cfg, enable_loop_closure: Optional[bool] = None):
     slam.trajectory_distances = list(host["trajectory_distances"])
     slam.track_loss_count = int(host["track_loss_count"])
     slam.statistics = host["statistics"]
+    if "frame_correction" in host:
+        slam.frame_correction = np.asarray(host["frame_correction"],
+                                           np.float32)
 
     loop_blob = bytes(data["__loop__"])
     if loop_blob and slam._loop is not None:
