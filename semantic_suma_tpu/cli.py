@@ -31,6 +31,8 @@ def _add_common(p):
     p.add_argument("--max-scans", type=int, default=None)
     p.add_argument("--surfel-capacity", type=int, default=1 << 21)
     p.add_argument("--active-capacity", type=int, default=1 << 18)
+    p.add_argument("--sharded", type=int, default=None, metavar="N",
+                   help="run the multi-chip driver over an N-device mesh")
 
 
 def build_config(args):
@@ -158,7 +160,22 @@ def cmd_run(args) -> int:
             return s.points, s.labels, s.probs, None
 
     count = min(count, args.max_scans or count)
-    if args.resume:
+    if args.sharded:
+        # multi-chip driver over a jax.sharding.Mesh (SURVEY §7 configs
+        # 4-5); on hosts without enough devices use
+        # XLA_FLAGS=--xla_force_host_platform_device_count=N with --cpu
+        from .parallel import sharding as shp
+        mesh = shp.make_mesh(args.sharded)
+        if args.resume:
+            from .utils.checkpoint import load_checkpoint_sharded
+            slam = load_checkpoint_sharded(args.resume, cfg, mesh)
+            start = len(slam.poses)
+            print(f"resumed sharded at scan {start} from {args.resume}",
+                  file=sys.stderr)
+        else:
+            slam = shp.ShardedSurfelSLAM(cfg, mesh)
+            start = 0
+    elif args.resume:
         from .utils.checkpoint import load_checkpoint
         slam = load_checkpoint(args.resume, cfg)
         start = len(slam.poses)
@@ -231,13 +248,14 @@ def cmd_run(args) -> int:
         sps = (count - steady_at) / max(time.perf_counter() - t_steady, 1e-9)
         msg += f" [steady-state {sps:.2f} scans/s]"
     print(msg)
-    if args.verbose:
+    sw = getattr(slam, "stopwatch", None)
+    if args.verbose and sw is not None:
         # per-stage wall-clock statistics (the reference's Stopwatch table,
         # VisualizerWindow.cpp:874-890)
-        print(slam.stopwatch.report(), file=sys.stderr)
-    if evlog is not None:
+        print(sw.report(), file=sys.stderr)
+    if evlog is not None and sw is not None:
         evlog.log("stage-times", **{k: v["mean_ms"] for k, v in
-                                    slam.stopwatch.summary().items()})
+                                    sw.summary().items()})
 
     if args.save_checkpoint:
         from .utils.checkpoint import save_checkpoint
@@ -254,12 +272,20 @@ def cmd_run(args) -> int:
         evlog.close()
 
     if args.save_map:
-        save_map_ply(args.save_map, slam.state, cfg.map)
+        if hasattr(slam, "state"):
+            save_map_ply(args.save_map, slam.state, cfg.map)
+        else:
+            print("--save-map: sharded sessions are exported per shard via "
+                  "--save-checkpoint; PLY export is single-chip only",
+                  file=sys.stderr)
 
     if args.save_viewer:
-        from .utils.viz3d import export_map_html
-        export_map_html(args.save_viewer, slam.state, cfg.map,
-                        trajectory=est)
+        if hasattr(slam, "state"):
+            from .utils.viz3d import export_map_html
+            export_map_html(args.save_viewer, slam.state, cfg.map,
+                            trajectory=est)
+        else:
+            print("--save-viewer is single-chip only", file=sys.stderr)
 
     if accum is not None:
         save_cloud_ply(args.save_cloud, accum.world_cloud(max_points=2_000_000))
@@ -275,11 +301,13 @@ def cmd_run(args) -> int:
         viz.plot_statistics(slam.statistics,
                             path=os.path.join(args.plot_dir, "stats.png"))
         viz.save_map_images(
-            jax_tree_to_np(slam.state.model_maps),
+            jax_tree_to_np(slam.state.model_maps if hasattr(slam, "state")
+                           else slam.model_maps),
             prefix=os.path.join(args.plot_dir, "model"))
 
     if args.eval and gt is not None:
-        res = metrics.evaluate(np.asarray(gt), est)
+        res = metrics.evaluate(np.asarray(gt), est,
+                               breakdown=args.eval_breakdown)
         print(json.dumps(res, indent=2))
     return 0
 
@@ -290,7 +318,9 @@ def cmd_eval(args) -> int:
     tr = parse_calib(args.calib).get("Tr") if args.calib else None
     gt = load_poses(args.gt, tr)
     est = load_poses(args.est, tr)
-    print(json.dumps(metrics.evaluate(gt, est), indent=2))
+    print(json.dumps(metrics.evaluate(gt, est,
+                                      breakdown=args.eval_breakdown),
+                     indent=2))
     return 0
 
 
@@ -300,7 +330,8 @@ def cmd_train_segmenter(args) -> int:
         from .models import rangenet as rn
         from .models.segmenter import train_synthetic
         cfg = DataConfig()
-        model = rn.small_rangenet() if args.small else rn.RangeNet()
+        model = (rn.small_rangenet() if args.small
+                 else rn.mid_rangenet() if args.mid else rn.RangeNet())
         seg, miou = train_synthetic(
             cfg, n_train=args.synthetic, n_val=max(4, args.synthetic // 8),
             steps=args.steps, batch=args.batch, lr=args.lr, seed=args.seed,
@@ -315,7 +346,8 @@ def cmd_train_segmenter(args) -> int:
     from .config import DataConfig
 
     cfg = DataConfig()
-    model = rn.small_rangenet() if args.small else rn.RangeNet()
+    model = (rn.small_rangenet() if args.small
+             else rn.mid_rangenet() if args.mid else rn.RangeNet())
     reader = KITTIReader(args.dataset, use_gt_labels=True)
     if reader.label_files is None:
         print("ERROR: no SemanticKITTI labels found", file=sys.stderr)
@@ -368,6 +400,9 @@ def main(argv=None) -> int:
     runp.add_argument("--plot-dir",
                       help="write trajectory/statistics/map-image PNGs here")
     runp.add_argument("--eval", action="store_true")
+    runp.add_argument("--eval-breakdown", action="store_true",
+                      help="add the devkit per-segment-length and "
+                           "per-speed error tables to --eval output")
     runp.add_argument("--verbose", action="store_true")
     runp.set_defaults(fn=cmd_run)
 
@@ -375,6 +410,8 @@ def main(argv=None) -> int:
     evalp.add_argument("--gt", required=True)
     evalp.add_argument("--est", required=True)
     evalp.add_argument("--calib")
+    evalp.add_argument("--eval-breakdown", action="store_true",
+                       help="add per-segment-length / per-speed tables")
     evalp.set_defaults(fn=cmd_eval)
 
     trainp = sub.add_parser("train-segmenter")
@@ -392,6 +429,9 @@ def main(argv=None) -> int:
     trainp.add_argument("--val-fraction", type=float, default=0.1,
                         help="held-out fraction for mIoU (dataset mode)")
     trainp.add_argument("--small", action="store_true")
+    trainp.add_argument("--mid", action="store_true",
+                        help="darknet21-depth deployment net (see "
+                             "models.rangenet.mid_rangenet)")
     trainp.set_defaults(fn=cmd_train_segmenter)
 
     args = ap.parse_args(argv)

@@ -571,15 +571,15 @@ def _selection(data: PackedSurfels, proj: _Projected, map_cfg: MapConfig,
 
 
 def _resolve_maps(entries_list: Sequence[RenderEntries],
-                  cfg: DataConfig) -> Maps:
+                  cfg: DataConfig, resolve_radius: int = 1) -> Maps:
     """Candidate streams -> model maps.
 
     Phase 1: nearest candidate per pixel via the sorted z-buffer (surfel
     centers only). Phase 2: winner attributes are gathered into ONE dense
-    [H, W, 9] image; each pixel then inspects its 3x3 neighborhood with
-    jnp.roll shifts and keeps the nearest candidate whose tangent disk
-    intersects this pixel's ray — recovering the disk footprint of
-    render_surfels.geom:101-120 without per-offset gathers.
+    [H, W, 9] image; each pixel then inspects its (2R+1)x(2R+1)
+    neighborhood with jnp.roll shifts and keeps the nearest candidate
+    whose tangent disk intersects this pixel's ray — recovering the disk
+    footprint of render_surfels.geom:101-120 without per-offset gathers.
     """
     h, w = cfg.height, cfg.width
     hw = h * w
@@ -600,25 +600,36 @@ def _resolve_maps(entries_list: Sequence[RenderEntries],
 
     has = winner >= 0
     img = jnp.where(has[:, None], cand_attrs[jnp.maximum(winner, 0)], 0.0)
-    return _disk_resolve(img.reshape(h, w, 9), has.reshape(h, w), cfg)
+    return _disk_resolve(img.reshape(h, w, 9), has.reshape(h, w), cfg,
+                         resolve_radius)
 
 
 def _disk_resolve(img: jnp.ndarray, hasg: jnp.ndarray,
-                  cfg: DataConfig) -> Maps:
+                  cfg: DataConfig, resolve_radius: int = 1) -> Maps:
     """Dense winner image [H, W, 9] (p_c 0:3, n_c 3:6, radius 6, label 7,
-    prob 8) -> model maps via the 3x3 roll-based tangent-disk resolve."""
+    prob 8) -> model maps via the (2R+1)x(2R+1) roll-based tangent-disk
+    resolve (R=1 covers the creation-time footprint <= 1.41 px; R=2 also
+    covers near-field revisits where old surfels are seen much closer than
+    created — quantified against the brute-force disk oracle in
+    tests/test_render_oracle.py)."""
     h, w = cfg.height, cfg.width
+    rr = resolve_radius
     rays = pixel_rays(cfg)  # [H, W, 3]
     best_t = jnp.full((h, w), jnp.inf, jnp.float32)
     best = jnp.zeros((h, w, 9), jnp.float32)
     best_ok = jnp.zeros((h, w), bool)
-    for dy in (-1, 0, 1):
+    for dy in range(-rr, rr + 1):
         rolled = jnp.roll(img, -dy, axis=0)
         rolled_has = jnp.roll(hasg, -dy, axis=0)
         if dy != 0:
-            edge = h - 1 if dy == 1 else 0
-            rolled_has = rolled_has.at[edge].set(False)
-        for dx in (-1, 0, 1):
+            # vertical rolls wrap top<->bottom, which is NOT adjacency in
+            # elevation — mask the wrapped rows (horizontal wrap is real:
+            # yaw is periodic)
+            if dy > 0:
+                rolled_has = rolled_has.at[h - dy:].set(False)
+            else:
+                rolled_has = rolled_has.at[:-dy].set(False)
+        for dx in range(-rr, rr + 1):
             nb = jnp.roll(rolled, -dx, axis=1)
             nb_has = jnp.roll(rolled_has, -dx, axis=1)
             p = nb[..., 0:3]
@@ -646,7 +657,8 @@ def render_view(data: PackedSurfels, pose: jnp.ndarray, cfg: DataConfig,
     pose_inv = lie.se3_inverse(pose.astype(jnp.float32))
     proj = _project_surfels(data, pose_inv, cfg)
     sel = _selection(data, proj, map_cfg, conf_threshold, ts_threshold, which)
-    return _resolve_maps([RenderEntries(data, proj, sel)], cfg)
+    return _resolve_maps([RenderEntries(data, proj, sel)], cfg,
+                         map_cfg.splat_resolve_radius)
 
 
 def render_maps(state: MapState, pose: jnp.ndarray, cfg: DataConfig,
@@ -683,7 +695,8 @@ def render_composed(state: MapState, pose_old: jnp.ndarray,
     sel_n = _selection(data_n, proj_n, map_cfg, conf_threshold, ts_threshold,
                        "new")
     return _resolve_maps([RenderEntries(data_o, proj_o, sel_o),
-                          RenderEntries(data_n, proj_n, sel_n)], cfg)
+                          RenderEntries(data_n, proj_n, sel_n)], cfg,
+                         map_cfg.splat_resolve_radius)
 
 
 def compose_views(old: Maps, new: Maps, max_distance: float) -> Maps:
@@ -1218,7 +1231,7 @@ def fuse_and_render(state: MapState, frame: FrameInputs, pose: jnp.ndarray,
 
     h, w = data_cfg.height, data_cfg.width
     model_maps = _disk_resolve(img.reshape(h, w, 9), has.reshape(h, w),
-                               data_cfg)
+                               data_cfg, map_cfg.splat_resolve_radius)
     return state2, model_maps, n_created, n_dropped
 
 

@@ -132,17 +132,46 @@ class Segmenter:
         return self._infer(jnp.asarray(points), jnp.asarray(remissions),
                            self.variables)
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, half: bool = True) -> None:
+        """Pickle the variables; ``half`` stores float32 leaves as float16
+        (inference computes in bfloat16 anyway — f16's 10-bit mantissa is
+        above the compute precision — and the checkpoint halves, keeping
+        repo-versioned weights small). The model config rides along so
+        ``load`` needs no architecture argument."""
         import pickle
+
+        def shrink(a):
+            a = np.asarray(a)
+            return a.astype(np.float16) if a.dtype == np.float32 else a
+
+        blob = {
+            "variables": jax.tree.map(shrink if half else np.asarray,
+                                      self.variables),
+            "model": {"num_classes": self.model.num_classes,
+                      "stage_blocks": tuple(self.model.stage_blocks),
+                      "widths": tuple(self.model.widths)},
+        }
         with open(path, "wb") as f:
-            pickle.dump(jax.tree.map(np.asarray, self.variables), f)
+            pickle.dump(blob, f)
 
     @classmethod
     def load(cls, path: str, cfg: DataConfig, model: RangeNet | None = None,
              use_knn: bool = True) -> "Segmenter":
         import pickle
         with open(path, "rb") as f:
-            variables = pickle.load(f)
+            blob = pickle.load(f)
+        if isinstance(blob, dict) and "variables" in blob:
+            variables = blob["variables"]
+            if model is None:
+                m = blob["model"]
+                model = RangeNet(num_classes=m["num_classes"],
+                                 stage_blocks=tuple(m["stage_blocks"]),
+                                 widths=tuple(m["widths"]))
+        else:  # legacy format: bare variables pytree
+            variables = blob
+        variables = jax.tree.map(
+            lambda a: np.asarray(a, np.float32)
+            if getattr(a, "dtype", None) == np.float16 else a, variables)
         return cls(cfg, model=model, variables=variables, use_knn=use_knn)
 
 

@@ -187,8 +187,17 @@ def zbuffer_runs(ids: jnp.ndarray, depth: jnp.ndarray,
     p_next = jnp.concatenate([p[1:], p_term[None]])      # [C]
     pair_pay_key = jnp.stack([pair_first, sorted_pay], axis=-1)  # [m, 2]
 
+    # ONE [C, 2+K] row gather at q_all = p+1 answers winner_all AND every
+    # flag's first-flagged position: sentinel rows are never flagged, so
+    # the reverse cummin satisfies nxt[p] == nxt[p+1] exactly — gathers
+    # are row-count-bound (~8 ns/row from HBM), so collapsing the three
+    # separate [C] gathers into one is the dominant saving here
     q_all = jnp.minimum(p + 1, m - 1)
-    pay_all = sorted_pay[q_all]                          # [C] gather
+    cols = [sorted_pay[:, None]]
+    if flags:
+        cols.append(nxt_all.T)                           # [m, K]
+    gall = jnp.concatenate(cols, axis=-1)[q_all]         # [C, 1+K] gather
+    pay_all = gall[:, 0]
     # any row strictly inside a run is real (sentinels start runs)
     winner_all = jnp.where(p + 1 < p_next, pay_all & pmask, -1)
 
@@ -196,7 +205,7 @@ def zbuffer_runs(ids: jnp.ndarray, depth: jnp.ndarray,
         flag_payloads = tuple(True for _ in flags)
     winners, wdepths = [], []
     for k in range(len(flags)):
-        nxt_c = nxts[k][p]                               # [C] gather
+        nxt_c = gall[:, 1 + k]                           # == nxts[k][p]
         ok = nxt_c < p_next                              # in this cell's run
         if not flag_payloads[k]:
             # caller only tests ``winner >= 0``: 0 marks existence, no

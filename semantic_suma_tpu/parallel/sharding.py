@@ -390,6 +390,9 @@ class ShardedSurfelSLAM:
         # device->output frame correction (below-gate async-optimize
         # integrations; see pipeline.SurfelSLAM.frame_correction)
         self.frame_correction = np.eye(4, dtype=np.float32)
+        # per-finished-scan stats stream (parity with pipeline.SurfelSLAM;
+        # pipelined draining completes several scans per call)
+        self.stats_callback = None
 
     @property
     def timestamp(self) -> int:
@@ -613,6 +616,8 @@ class ShardedSurfelSLAM:
                                             lag=len(self._pending)))
 
         self.statistics.append(stats)
+        if self.stats_callback is not None:
+            self.stats_callback(stats)
         return stats
 
     # ---- backend accessors for the driver-agnostic LoopCloser ----------

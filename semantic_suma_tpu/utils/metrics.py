@@ -83,6 +83,37 @@ def average_errors(errors: List[SegmentError]) -> tuple[float, float]:
     return t, r
 
 
+def errors_by_length(errors: List[SegmentError]) -> dict:
+    """Per-segment-length error table (the reference devkit's
+    saveErrorPlots tl/rl outputs, kitti_utils.cpp:149-191): length ->
+    {t_rel %, r_rel deg/100m, count}."""
+    out = {}
+    for length in SEGMENT_LENGTHS:
+        sub = [e for e in errors if e.length == length]
+        if not sub:
+            continue
+        t, r = average_errors(sub)
+        out[f"{length:.0f}m"] = {"t_rel_percent": t,
+                                 "r_rel_deg_per_100m": r,
+                                 "count": len(sub)}
+    return out
+
+
+def errors_by_speed(errors: List[SegmentError], bin_mps: float = 2.0) -> dict:
+    """Per-speed error table (devkit ts/rs outputs): speed bucket (m/s,
+    binned every ``bin_mps``) -> {t_rel %, r_rel deg/100m, count}."""
+    out = {}
+    if not errors:
+        return out
+    buckets = sorted({int(e.speed // bin_mps) for e in errors})
+    for b in buckets:
+        sub = [e for e in errors if int(e.speed // bin_mps) == b]
+        t, r = average_errors(sub)
+        out[f"{b * bin_mps:.0f}-{(b + 1) * bin_mps:.0f}m/s"] = {
+            "t_rel_percent": t, "r_rel_deg_per_100m": r, "count": len(sub)}
+    return out
+
+
 def ate_rmse(gt: np.ndarray, est: np.ndarray,
              align: bool = True) -> float:
     """Absolute trajectory error RMSE over positions, with optional SE(3)
@@ -103,12 +134,15 @@ def ate_rmse(gt: np.ndarray, est: np.ndarray,
     return float(np.sqrt(np.mean(np.sum((p_est - p_gt) ** 2, axis=-1))))
 
 
-def evaluate(gt: np.ndarray, est: np.ndarray) -> dict:
-    """Full evaluation summary (the reference's KITTI::Odometry::eval)."""
+def evaluate(gt: np.ndarray, est: np.ndarray,
+             breakdown: bool = False) -> dict:
+    """Full evaluation summary (the reference's KITTI::Odometry::eval).
+    ``breakdown=True`` adds the devkit's per-segment-length and per-speed
+    error tables (kitti_utils.cpp saveErrorPlots outputs)."""
     errors = calc_sequence_errors(gt, est)
     t_rel, r_rel = average_errors(errors)
     n = min(len(gt), len(est))
-    return {
+    out = {
         "t_rel_percent": t_rel,
         "r_rel_deg_per_100m": r_rel,
         "ate_rmse_m": ate_rmse(gt, est),
@@ -119,3 +153,7 @@ def evaluate(gt: np.ndarray, est: np.ndarray) -> dict:
         "num_segments": len(errors),
         "length_m": float(trajectory_distances(gt[:n])[-1]),
     }
+    if breakdown:
+        out["by_length"] = errors_by_length(errors)
+        out["by_speed"] = errors_by_speed(errors)
+    return out

@@ -1,0 +1,128 @@
+"""Splat-footprint oracle for the model render (VERDICT r4 #5).
+
+The reference rasterizes each surfel as a true quad in its tangent-disk
+frame, so a surfel's pixel footprint grows without bound as the viewpoint
+approaches it (``render_surfels.geom:101-123``). Our render instead
+z-buffers surfel CENTERS and then recovers the disk footprint with a
+(2R+1)x(2R+1) rolled-window resolve (``surfel_map._disk_resolve``). This
+file quantifies that approximation against a brute-force per-pixel
+disk-intersection oracle:
+
+* at a creation-like viewpoint the R=1 (3x3) resolve must be near-exact
+  (creation-time footprints are <= sqrt(2)/cos(theta) <= 2.83 px diameter);
+* at a NEAR-FIELD revisit (surfels created far, viewed close — footprints
+  of several pixels) the coverage deficit of R=1 is measured, and R=2
+  (``MapConfig.splat_resolve_radius = 2``) must recover most of it.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from semantic_suma_tpu.config import DataConfig, MapConfig, SumaConfig
+from semantic_suma_tpu.core import surfel_map as sm
+from semantic_suma_tpu.core.pipeline import SurfelSLAM
+from semantic_suma_tpu.io.simulation import SimulationReader
+from semantic_suma_tpu.ops.projection import pixel_rays
+from semantic_suma_tpu.utils import lie
+
+
+def oracle_render(data, pose, cfg: DataConfig, map_cfg: MapConfig,
+                  conf_threshold: float, ts_threshold: int,
+                  which: str = "new"):
+    """Brute-force render: every pixel ray intersected with EVERY selected
+    surfel's tangent disk; nearest intersection wins. O(HW * N) — only for
+    tests. Returns (hit [H,W] bool, t [H,W] f32)."""
+    pose_inv = lie.se3_inverse(jnp.asarray(pose, jnp.float32))
+    proj = sm._project_surfels(data, pose_inv, cfg)
+    sel = np.asarray(sm._selection(data, proj, map_cfg,
+                                   jnp.asarray(conf_threshold, jnp.float32),
+                                   jnp.asarray(ts_threshold, jnp.int32),
+                                   which))
+    p = np.asarray(proj.p_c)[sel]          # [N, 3] camera-frame centers
+    n = np.asarray(proj.n_c)[sel]          # [N, 3]
+    r = np.asarray(data.radius)[sel]       # [N]
+    rays = np.asarray(pixel_rays(cfg)).reshape(-1, 3)   # [HW, 3]
+    h, w = cfg.height, cfg.width
+    best_t = np.full(h * w, np.inf, np.float32)
+    # chunk over pixels to bound memory
+    for lo in range(0, rays.shape[0], 2048):
+        d = rays[lo:lo + 2048]                          # [P, 3]
+        denom = d @ n.T                                 # [P, N]
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        t = (p * n).sum(-1)[None, :] / denom            # [P, N]
+        hitp = d[:, None, :] * t[..., None] - p[None]   # [P, N, 3]
+        hit = (np.linalg.norm(hitp, axis=-1) <= r[None]) \
+            & (t > cfg.min_depth) & (t < cfg.max_depth)
+        t = np.where(hit, t, np.inf)
+        best_t[lo:lo + 2048] = t.min(axis=1)
+    hit = np.isfinite(best_t)
+    return hit.reshape(h, w), best_t.reshape(h, w)
+
+
+def _build_map(cfg: SumaConfig, n: int = 18, radius: float = 16.0):
+    reader = SimulationReader(cfg.data, n_scans=n, radius=radius, step=1.2,
+                              seed=4)
+    slam = SurfelSLAM(cfg, enable_loop_closure=False)
+    for i in range(n):
+        s = reader.read(i)
+        slam.process_scan(s.points, s.labels, s.probs, s.valid)
+    return slam, np.asarray(reader.poses)
+
+
+def _coverage(cfg_small, map_cfg, view, pose, conf, thr):
+    """(oracle hit count, resolve-miss count, depth-agree frac) for the
+    configured resolve radius."""
+    maps = sm.render_view(view, jnp.asarray(pose, jnp.float32),
+                          cfg_small.data, map_cfg,
+                          jnp.asarray(conf, jnp.float32),
+                          jnp.asarray(thr, jnp.int32), "new")
+    got = np.asarray(maps.vertex_valid)
+    o_hit, o_t = oracle_render(view, pose, cfg_small.data, map_cfg, conf,
+                               thr, "new")
+    holes = o_hit & ~got
+    # depth agreement where both hit (resolve may legitimately differ by
+    # picking a different same-depth surfel of the same surface)
+    both = o_hit & got
+    t_res = np.linalg.norm(np.asarray(maps.vertex), axis=-1)
+    agree = np.abs(t_res[both] - o_t[both]) < 0.25
+    return int(o_hit.sum()), int(holes.sum()), float(np.mean(agree))
+
+
+@pytest.mark.slow
+def test_disk_resolve_vs_oracle():
+    d = DataConfig(width=180, height=32)
+    base_map = MapConfig(surfel_capacity=1 << 16, active_capacity=1 << 15,
+                         max_poses=256)
+    cfg = SumaConfig(data=d, model=d, map=base_map)
+    slam, poses = _build_map(cfg)
+    view = slam.state.active if hasattr(slam.state, "active") \
+        else slam.state.map.active
+    conf = slam.confidence_threshold()
+    thr = -1  # render everything as "new"
+
+    # (a) creation-like viewpoint: the last scan's pose. R=1 must be
+    # near-exact — footprints at creation are <= 1.41 px radius.
+    pose_a = poses[-1]
+    o_a, holes_a, agree_a = _coverage(cfg, base_map, view, pose_a, conf, thr)
+    assert o_a > 500
+    frac_a = holes_a / o_a
+    assert frac_a < 0.02, (holes_a, o_a)
+    assert agree_a > 0.95, agree_a
+
+    # (b) near-field revisit: move the sensor 70% of the way toward the
+    # ring of structure it mapped (surfels seen ~3x closer than created
+    # -> footprints up to ~4 px). Quantify R=1's deficit and require R=2
+    # to recover most of it.
+    pose_b = np.array(poses[-1], np.float32).copy()
+    pose_b[:3, 3] *= 0.3  # toward the world center, structure much closer
+    o_b, holes_b1, _ = _coverage(cfg, base_map, view, pose_b, conf, thr)
+    wide = MapConfig(**{**base_map.__dict__, "splat_resolve_radius": 2})
+    o_b2, holes_b2, _ = _coverage(cfg, wide, view, pose_b, conf, thr)
+    assert o_b2 == o_b
+    frac_b1 = holes_b1 / max(o_b, 1)
+    frac_b2 = holes_b2 / max(o_b, 1)
+    # R=2 must close at least half of R=1's near-field coverage deficit
+    # (or the deficit was immaterial to begin with)
+    assert frac_b2 <= 0.6 * frac_b1 or frac_b1 < 0.03, (frac_b1, frac_b2)
+    print(f"coverage deficit: creation-view R1 {frac_a:.4f}; "
+          f"near-field R1 {frac_b1:.4f} -> R2 {frac_b2:.4f}")

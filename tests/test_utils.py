@@ -94,3 +94,33 @@ def test_config_sweep():
     assert len(combos) == 4
     assert {c.icp.factor for c in combos} == {0.25, 0.5}
     assert combos[0].map.p_stable == 0.6
+
+
+def test_devkit_breakdown_tables():
+    """Per-length / per-speed error tables (reference kitti_utils.cpp
+    saveErrorPlots outputs): a trajectory with a known constant relative
+    error must report it in every populated bucket."""
+    import numpy as np
+    from semantic_suma_tpu.utils import metrics
+
+    n = 400
+    gt = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    est = gt.copy()
+    for i in range(n):
+        gt[i, 0, 3] = i * 1.0          # 1 m per frame -> 10 m/s at 10 Hz
+        est[i, 0, 3] = i * 1.0
+        est[i, 1, 3] = i * 0.01        # 1% lateral drift
+    res = metrics.evaluate(gt, est, breakdown=True)
+    assert res["num_segments"] > 0
+    bl = res["by_length"]
+    assert "100m" in bl and "300m" in bl
+    for row in bl.values():
+        assert abs(row["t_rel_percent"] - 1.0) < 0.1
+        assert row["count"] > 0
+    bs = res["by_speed"]
+    assert len(bs) >= 1
+    (bucket, row), = list(bs.items())[:1]
+    assert "10-12m/s" in bs
+    assert abs(bs["10-12m/s"]["t_rel_percent"] - 1.0) < 0.1
+    # totals match the flat average
+    assert abs(res["t_rel_percent"] - 1.0) < 0.1
