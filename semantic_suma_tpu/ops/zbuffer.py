@@ -175,8 +175,10 @@ def zbuffer_runs(ids: jnp.ndarray, depth: jnp.ndarray,
     # with one stable 1-bit-key sort; every per-cell answer then follows
     # from [num_cells]-sized gathers over the sorted order (cheap — the
     # wide multi-operand carry sort measured 3x the cost of these gathers)
-    ckey = is_real.astype(jnp.int32)
-    _, p_sent = jax.lax.sort((ckey, pos), num_keys=1)
+    # ONE packed operand (is_real bit 26 | position) instead of a
+    # (key, payload) pair — each extra sort operand costs ~+0.25 ms at
+    # this size on v5e; positions fit 26 bits by the m < 2^26 assert
+    p_sent = jax.lax.sort((is_real.astype(jnp.int32) << 26) | pos) & pmask
     p = p_sent[:num_cells]                              # [C], cell order
     p_term = p_sent[num_cells]                          # terminator position
 
