@@ -171,7 +171,9 @@ def main():
         # 5. sharded driver accuracy (8-virtual-device CPU mesh): the same
         # odometry workload through ShardedSurfelSLAM so sharded-vs-single
         # drift is a tracked number per round (VERDICT r3 #6)
-        n_sh = 30 if args.quick else 50
+        # >= 100 m of path so the devkit t_rel/r_rel segments exist
+        # (VERDICT r4 weak #9: 50 scans x 1.5 m = 75 m gave nan)
+        n_sh = 30 if args.quick else 90
         code = (
             "import os\n"
             "os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS','') + "

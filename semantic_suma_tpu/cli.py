@@ -42,11 +42,16 @@ def build_config(args):
     cfg = SumaConfig()
     if args.config:
         cfg = config_from_xml(args.config, cfg)
-    # keep any XML-provided map parameters; only override capacities
+    # keep any XML-provided map parameters; only override capacities.
+    # min_fresh_rows = 2 full images matches the bench operating point: a
+    # 1-image fresh region forces a view refresh every few scans (the r4
+    # CLI ran ~2x slower than bench.py for exactly this reason)
     cfg = cfg.replace(map=replace(
         cfg.map,
         surfel_capacity=args.surfel_capacity,
         active_capacity=args.active_capacity,
+        min_fresh_rows=min(2 * cfg.data.height * cfg.data.width,
+                           args.active_capacity // 2),
         max_poses=max(8192, (args.max_scans or 8192))))
     if args.approach:
         cfg = cfg.replace(approach=args.approach)

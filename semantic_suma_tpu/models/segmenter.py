@@ -109,7 +109,11 @@ class Segmenter:
             variables = self.model.init(
                 jax.random.PRNGKey(rng_seed),
                 jnp.zeros((1, h, w, 5), jnp.float32), train=False)
-        self.variables = variables
+        # stage the weights ON DEVICE once: passing host-numpy leaves to
+        # the jitted call re-uploads the whole pytree (~9 MB for the mid
+        # net) EVERY scan — measured 1.2 scans/s through the remote
+        # tunnel vs ~90 with device-resident weights
+        self.variables = jax.tree.map(jnp.asarray, variables)
         self.use_knn = use_knn
         self._infer = jax.jit(self._infer_impl)
 
