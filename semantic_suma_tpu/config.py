@@ -197,6 +197,13 @@ class LoopClosureConfig:
     # correction is re-applied by the next above-gate rebase
     rebase_gate_translation: float = 0.02   # meters
     rebase_gate_rotation: float = 0.002     # radians
+    # fraction of the active view used for the VERIFICATION old view
+    # (read-only, built around the loop site): the fused verify program
+    # renders the old view twice per scan, and its sort/gather cost
+    # scales with view rows — 0.5 halves it. 1.0 reproduces the full
+    # view (the candidate-SEARCH path always uses the full view; only
+    # the per-scan chained verification uses the reduced one)
+    verify_view_fraction: float = 0.5
 
 
 @dataclass(frozen=True)

@@ -8,13 +8,20 @@ ICP against the old map, composed-view residual evaluation):
 * Phase A — verify a pending candidate every scan: ICP against the old
   (inactive) map rendered at the tracked old-frame pose; gates
   valid_ratio > 0.2, outlier_ratio < 0.85, |log(inc_new)-log(inc_old)| < 0.1;
-  then compare composed-view residual against the odometry result.
+  then compare composed-view residual against the odometry result. On
+  drivers that support it, verification runs as a speculative per-scan
+  device program chained off the odometry step with the pose_old anchor
+  carried ON DEVICE (``dispatch_verify``) so live chains never drain the
+  scan pipeline.
 * Promotion — `min_verifications + 1` consecutive successes make the chain
-  verified; verified candidates become pose-graph BetweenFactor edges.
-* Optimization — Gauss-Newton+PCG pose graph solve (here synchronous — at
-  KITTI sizes the TPU solve is milliseconds, where the reference needed an
-  async GTSAM thread); poses are rebased and pushed into the surfel map
-  (only the pose table is rewritten, SurfelMap::updatePoses semantics).
+  verified; verified candidates become pose-graph BetweenFactor edges
+  (robust DCS-weighted, Posegraph.cpp:49-60 semantics).
+* Optimization — Gauss-Newton+PCG pose graph solve on a background host
+  thread over a graph clone (the reference's std::async protocol,
+  SurfelMapping.cpp:655-660); ``integrate`` applies the result on a later
+  scan via difference-rebase, skipping the device rebase below the
+  configured gates (only the pose table is rewritten on rebase,
+  SurfelMap::updatePoses semantics).
 * Phase C — search a new candidate when idle: nearest old pose within
   search_distance with trajectory distance > min_trajectory_distance; three
   initializations {O, R(O), half-translation O} (SurfelMapping.cpp:679-691).
@@ -267,7 +274,10 @@ class LoopCloser:
             if corr is not None:
                 anchor = np.linalg.inv(corr) @ anchor
             self._pose_old_dev = jnp.asarray(anchor, jnp.float32)
-        view, thr = slam.old_view(self.pose_old, timestamp=idx + 1)
+        if hasattr(slam, "verify_view"):
+            view, thr = slam.verify_view(self.pose_old, timestamp=idx + 1)
+        else:
+            view, thr = slam.old_view(self.pose_old, timestamp=idx + 1)
         vec, comp_out, pose_old_next = self._fused[2](
             view, jnp.asarray(thr, jnp.int32), self._pose_old_dev,
             slam.last_maps, slam.model_maps,

@@ -353,6 +353,17 @@ class SurfelSLAM:
             lambda mapstate, center, thr: sm.refresh_active(
                 mapstate, center, mcfg, priority="old",
                 ts_threshold=thr).active)
+        # reduced read-only view for the chained per-scan verification
+        # (cfg.loop.verify_view_fraction of the active blocks around the
+        # loop site): the verify program renders the old view twice per
+        # scan, and render cost scales with view rows
+        k_blocks = mcfg.active_capacity // mcfg.effective_block_size
+        vb = max(1, int(k_blocks * cfg.loop.verify_view_fraction))
+        self._verify_blocks = min(vb, k_blocks)
+        self._jit_verify_view = jax.jit(
+            lambda mapstate, center, thr: sm.build_view(
+                mapstate, center, mcfg, self._verify_blocks,
+                ts_threshold=thr))
         self._jit_old_render = jax.jit(
             lambda view, pose, conf, thr: sm.render_view(
                 view, pose, model, mcfg, conf, thr, "old"))
@@ -425,6 +436,29 @@ class SurfelSLAM:
         return cache.view_for(
             view_pose, self.timestamp if timestamp is None else timestamp,
             self.map_version)
+
+    def verify_view(self, view_pose, timestamp: int):
+        """Reduced old view for the chained per-scan verification (the
+        candidate search keeps the full view). Falls back to the full
+        cache when verify_view_fraction >= 1."""
+        if self._verify_blocks * self.cfg.map.effective_block_size \
+                >= self.cfg.map.active_capacity:
+            return self.old_view(view_pose, timestamp)
+        if getattr(self, "_verify_cache", None) is None:
+            from .loop_closure import OldMapRenderCache
+            self._verify_cache = OldMapRenderCache(
+                build_view=lambda center, thr: self._jit_verify_view(
+                    self.state.map, center, thr),
+                render_view=self._jit_old_render,
+                delta_timestamp=self.cfg.loop.delta_timestamp)
+        if self.spill is not None:
+            st = self.spill.ensure_resident(
+                self.state.map, np.asarray(view_pose)[:3, 3])
+            if st is not None:
+                self.state = self.state._replace(map=st)
+                self.map_version += 1
+        return self._verify_cache.view_for(view_pose, timestamp,
+                                           self.map_version)
 
     def render_old_maps(self, view_pose):
         """Cached old-(inactive-)map render at ``view_pose`` (loop-closure

@@ -310,6 +310,45 @@ def refresh_active(state: MapState, center: jnp.ndarray, cfg: MapConfig,
         anchor=center)
 
 
+def build_view(state: MapState, center: jnp.ndarray, cfg: MapConfig,
+               n_blocks: int, ts_threshold=None, margin: float = 25.0,
+               priority: str = "old") -> PackedSurfels:
+    """READ-ONLY [n_blocks*bs]-row view around ``center`` — the same
+    block scoring as :func:`refresh_active` but without touching the
+    active view, fresh allocation, or arena bookkeeping.
+
+    Used by loop-closure verification: the verification site is local,
+    so a half-size view halves the per-scan render sort/gather cost of
+    the fused verify program (the reference renders its full map but
+    pays per-fragment, not per-surfel — render_surfels.geom)."""
+    bs, nb, k, f_blocks = _geometry(cfg)
+    state = sync(state, cfg)  # fold the (authoritative) active view in
+    d = state.data
+    wpos = d.wpos.reshape(nb, bs, 3)
+    valid = d.valid.reshape(nb, bs)
+    cts = d.creation_ts.reshape(nb, bs)
+    if priority == "old" and ts_threshold is not None:
+        valid = valid & (cts < ts_threshold)
+    dist = jnp.linalg.norm(wpos - center[None, None, :], axis=-1)
+    dist = jnp.where(valid, dist, jnp.inf)
+    dmin = jnp.min(dist, axis=1)
+    near = dmin < (cfg.active_radius + margin)
+    score = jnp.where(near, -dmin, -jnp.inf)
+    bias = jnp.max(jnp.where(valid, cts, 0), axis=1).astype(jnp.float32)
+    score = score + (1e-5 * bias if priority == "new" else -1e-5 * bias)
+    top_score, top_ids = jax.lax.top_k(score, n_blocks)
+    ids = jnp.where(jnp.isfinite(top_score), top_ids.astype(jnp.int32), nb)
+    view = _block_take(state.data, ids, bs)
+    if priority == "old" and ts_threshold is not None:
+        # blocks may mix old and new surfels; mask the new ones so the
+        # caller's render ("old" selection) sees a pure inactive view
+        keep = view.creation_ts < ts_threshold
+        view = PackedSurfels(
+            f=view.f, i=view.i.at[:, _VALID].set(
+                (view.valid & keep).astype(jnp.int32)))
+    return view
+
+
 def _recompute_local(rows: PackedSurfels, poses: jnp.ndarray) -> PackedSurfels:
     """Re-derive creation-frame geometry from the pose table (the sync()
     math, for one block of rows)."""
