@@ -196,7 +196,9 @@ def main():
     overhead = 100.0 * (1.0 - loop_sps / max(driver_sps, 1e-9))
     print(f"# driver (SurfelSLAM, loops ON, continuous-revisit lap): "
           f"{loop_sps:.2f} scans/s, {n_loops} loop closures, "
-          f"{loop_slam._loop.num_optimizations} optimizations, overhead "
+          f"{loop_slam._loop.num_optimizations} optimizations "
+          f"({loop_slam._loop.num_rebases} device rebases, "
+          f"{loop_slam._loop.num_soft_integrations} host-only), overhead "
           f"{overhead:.0f}% vs loops-off driver", file=sys.stderr)
 
     # ---- segmenter-in-loop row (VERDICT r4 #3): labels from per-scan

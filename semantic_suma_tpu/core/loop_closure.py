@@ -154,6 +154,8 @@ class LoopCloser:
     last_pose_old: Optional[np.ndarray] = None
     num_optimizations: int = 0
     num_loop_closures: int = 0
+    num_rebases: int = 0          # above-gate integrations (device rebase)
+    num_soft_integrations: int = 0  # below-gate (host-only, no drain)
     # set when a device-dependent phase was deferred because scans were in
     # flight; the driver must drain the pipeline and run synchronously
     sync_request: bool = False
@@ -850,6 +852,7 @@ class LoopCloser:
         if t_acc < lcfg.rebase_gate_translation \
                 and r_acc < lcfg.rebase_gate_rotation:
             # (a) below-gate: host-only integration
+            self.num_soft_integrations += 1
             slam.frame_correction = corr_new
             for i in range(min(len(live), len(slam.poses))):
                 slam.poses[i] = live[i]
@@ -858,6 +861,7 @@ class LoopCloser:
                 self.pose_old = difference @ self.pose_old
             return True
         # (b) full device rebase: needs an empty pipeline
+        self.num_rebases += 1
         slam.flush()
         opt = np.stack(self.posegraph.poses())
         new_current = difference @ np.asarray(slam.poses[-1])

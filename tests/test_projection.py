@@ -195,3 +195,27 @@ def test_zbuffer_runs_matches_oracle():
             # (floor of the bucket) — exact to one bucket width
             bucket = 100.0 / (1 << db)
             assert 0.0 <= depth[w1[c]] - d1[c] <= bucket + 1e-6
+
+
+def test_pallas_bilateral_matches_xla():
+    """The hand-written Pallas bilateral kernel (the GLSL
+    bilateral_filter.frag replacement, ops/pallas_kernels.py) must match
+    the XLA formulation exactly (same taps, same weights); on non-TPU
+    backends it runs under the Pallas interpreter."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from semantic_suma_tpu.ops.filters import bilateral_filter
+    from semantic_suma_tpu.ops.pallas_kernels import bilateral_filter_pallas
+
+    rng = np.random.default_rng(3)
+    h, w = 16, 128
+    pts = rng.normal(size=(h, w, 3)).astype(np.float32) * 5 + 10
+    valid = rng.uniform(size=(h, w)) < 0.9
+    vm = jnp.asarray(pts)
+    vv = jnp.asarray(valid)
+    a = bilateral_filter(vm, vv, radius=3)
+    b = bilateral_filter_pallas(vm, vv, radius=3,
+                                interpret=jax.default_backend() != "tpu")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
