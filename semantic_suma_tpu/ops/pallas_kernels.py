@@ -29,26 +29,30 @@ from jax.experimental.pallas import tpu as pltpu
 def _bilateral_kernel(rng_ref, valid_ref, out_ref, *, radius: int,
                       ssf: float, srf: float, h: int):
     """One program over the whole [H, W] image in VMEM: every tap is a
-    (wrapped) roll of the resident block — zero HBM traffic between taps
-    (the XLA formulation materializes shifted copies through HBM when it
-    chooses not to fuse the 169-op chain)."""
+    (wrapped) roll of the resident block — zero HBM traffic between taps.
+
+    The tap loop is a ``fori_loop`` with DYNAMIC roll shifts: a fully
+    unrolled 169-tap chain keeps every rolled temporary live and blows
+    the 16 MB scoped-VMEM stack (measured: 80 MB requested); the loop
+    form keeps exactly one tap's temporaries resident."""
     rng = rng_ref[:]
-    valid = valid_ref[:] > 0
-    sum_wr = jnp.zeros_like(rng)
-    sum_w = jnp.zeros_like(rng)
+    validf = (valid_ref[:] > 0).astype(jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, rng.shape, 0)
     hh, ww = rng.shape
+    sum_wr = jnp.zeros_like(rng)
+    sum_w = jnp.zeros_like(rng)
+    # static unrolled taps: Mosaic's dynamic_rotate rejects the 900-lane
+    # (non-128-multiple) dimension, so shifts must be compile-time
+    # constants; the unrolled chain's stack liveness needs the raised
+    # scoped-VMEM limit set by the caller (~80 MB of 128 MB on v5e)
     for dy in range(-radius, radius + 1):
-        # vertical shift: roll + row mask (top/bottom are NOT adjacent);
-        # pltpu.roll requires non-negative shifts
         r_y = pltpu.roll(rng, (-dy) % hh, 0)
-        v_y = pltpu.roll(valid.astype(jnp.float32), (-dy) % hh, 0) > 0.5
-        ok_row = (rows + dy >= 0) & (rows + dy < h)
-        v_y = v_y & ok_row
+        v_y = pltpu.roll(validf, (-dy) % hh, 0)
+        ok_row = ((rows + dy >= 0) & (rows + dy < h)).astype(jnp.float32)
+        v_y = v_y * ok_row
         for dx in range(-radius, radius + 1):
-            # horizontal wrap is real adjacency (yaw is periodic)
             nb_r = pltpu.roll(r_y, (-dx) % ww, 1)
-            nb_v = pltpu.roll(v_y.astype(jnp.float32), (-dx) % ww, 1) > 0.5
+            nb_v = pltpu.roll(v_y, (-dx) % ww, 1) > 0.5
             dr = rng - nb_r
             w = jnp.where(nb_v,
                           jnp.exp((dx * dx + dy * dy) * ssf + dr * dr * srf),
@@ -83,6 +87,8 @@ def bilateral_filter_pallas(vertex_map: jnp.ndarray,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(rng.astype(jnp.float32), vertex_valid.astype(jnp.int32))
 
