@@ -255,6 +255,68 @@ class LoopCloser:
         self._pre = (vec, comp)
 
     # ------------------------------------------------------------------
+    def warmup(self, slam) -> None:
+        """Trace + compile (or cache-load) every loop-phase device program
+        at DRIVER INIT instead of mid-drive: the fused search program
+        (~4.7 s first-use even cache-warm), the verify chain (~1.1 s) and
+        the pose-graph tier (~1.3 s) otherwise hit in the middle of the
+        first verification window — measured as the difference between the
+        ledger loop row's 16 scans/s and its true 38 scans/s steady
+        verification-window rate. The reference pays its analogous startup
+        cost building the TensorRT engine (KITTIReader.cpp:18-29)."""
+        if not getattr(slam, "supports_fused_verify", False):
+            return
+        import time as _t
+        t0 = _t.perf_counter()
+        if self._fused is None:
+            self._build_fused()
+        eye = np.eye(4, dtype=np.float32)
+        eyej = jnp.asarray(eye)
+        conf = jnp.asarray(0.0, jnp.float32)
+        maps = slam.last_maps
+        # full view (candidate search) + reduced view (chained verify)
+        view_f, thr_f = slam.old_view(eye, timestamp=0)
+        inits = jnp.stack([eyej, eyej, eyej])
+        self._fused[1](view_f, jnp.asarray(thr_f, jnp.int32), eyej, inits,
+                       maps, maps, conf)
+        self._fused[0](view_f, jnp.asarray(thr_f, jnp.int32), eyej, maps,
+                       maps, eyej, conf)
+        if hasattr(slam, "verify_view"):
+            view_v, thr_v = slam.verify_view(eye, timestamp=0)
+            self._fused[2](view_v, jnp.asarray(thr_v, jnp.int32), eyej,
+                           maps, maps, eyej, eyej, conf)
+        # pose-graph first tier (256 poses / 1024 edges) on the CPU backend
+        g = Posegraph()
+        g.set_initial(0, eye)
+        g.set_initial(1, eye)
+        g.add_edge(0, 1, eye, robust=True)
+        g.optimize(robust_kernel=self.cfg.loop.robust_kernel,
+                   robust_delta=self.cfg.loop.robust_delta)
+        # rebase + compaction programs: the rebase program otherwise
+        # compiles on the first ABOVE-gate integration, mid-drive
+        # (measured 11.3 s at the flagship arena). Warming uses the
+        # session's own poses (or identity on a fresh session), so the
+        # rewrite is value-identical and harmless
+        if hasattr(slam, "rebase"):
+            cur = slam.poses[-1] if slam.poses else eye
+            arr = np.stack(slam.poses) if slam.poses else eye[None]
+            slam.rebase(arr, cur)
+        if hasattr(slam, "_jit_compact"):
+            slam.state = slam.state._replace(
+                map=slam._jit_compact(slam.state.map))
+            slam.map_version += 1
+        # the identity-centered view caches are stale the moment the
+        # vehicle is >8 m from the origin; drop them so the first real
+        # verification builds fresh ones
+        for cache in (getattr(slam, "_old_cache", None),
+                      getattr(slam, "_verify_cache", None)):
+            if cache is not None:
+                cache._view = None
+        sw = getattr(slam, "stopwatch", None)
+        if sw is not None:
+            sw.record("loop-warmup", _t.perf_counter() - t0)
+
+    # ------------------------------------------------------------------
     def dispatch_verify(self, slam, idx: int) -> None:
         """Pipelined phase-A verification for scan ``idx``: dispatched
         right after the scan's odometry step, with the pose_old anchor
@@ -266,6 +328,8 @@ class LoopCloser:
         old+new model render replaces the model maps immediately (device
         reference, zero host work), giving composed tracking for the next
         scan exactly like the hybrid path did."""
+        import time as _t
+        _t0 = _t.perf_counter()
         if self._fused is None:
             self._build_fused()
         if self._pose_old_dev is None:
@@ -293,6 +357,9 @@ class LoopCloser:
         self._verify_queue.append((idx, vec))
         if self.cfg.loop.compose_rendering:
             slam.set_model_maps(comp_out)
+        sw = getattr(slam, "stopwatch", None)
+        if sw is not None:
+            sw.record("verify-dispatch", _t.perf_counter() - _t0)
 
     # ------------------------------------------------------------------
     def _build_fused(self):
@@ -825,6 +892,8 @@ class LoopCloser:
         ``needs_integration``. Returns True if anything was integrated."""
         if self._opt_future is None or not self._opt_future.done():
             return False
+        import time as _t
+        _t0 = _t.perf_counter()
         snap = self._opt_future.result()
         self._opt_future = None
         self.num_optimizations += 1
@@ -849,6 +918,7 @@ class LoopCloser:
         r_acc = float(np.arccos(np.clip(
             (np.trace(corr_new[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
         lcfg = self.cfg.loop
+        sw = getattr(slam, "stopwatch", None)
         if t_acc < lcfg.rebase_gate_translation \
                 and r_acc < lcfg.rebase_gate_rotation:
             # (a) below-gate: host-only integration
@@ -859,6 +929,8 @@ class LoopCloser:
             self._rewrite_trajectory_distances(slam)
             if self.pose_old is not None:
                 self.pose_old = difference @ self.pose_old
+            if sw is not None:
+                sw.record("integrate-soft", _t.perf_counter() - _t0)
             return True
         # (b) full device rebase: needs an empty pipeline
         self.num_rebases += 1
@@ -872,6 +944,8 @@ class LoopCloser:
         for i in range(min(len(opt), len(slam.poses))):
             slam.poses[i] = opt[i]
         self._rewrite_trajectory_distances(slam)
+        if sw is not None:
+            sw.record("integrate-rebase", _t.perf_counter() - _t0)
         return True
 
     def _rewrite_trajectory_distances(self, slam) -> None:
