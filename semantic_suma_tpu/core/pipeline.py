@@ -451,12 +451,13 @@ class SurfelSLAM:
                     self.state.map, center, thr),
                 render_view=self._jit_old_render,
                 delta_timestamp=self.cfg.loop.delta_timestamp)
-        if self.spill is not None:
-            st = self.spill.ensure_resident(
-                self.state.map, np.asarray(view_pose)[:3, 3])
-            if st is not None:
-                self.state = self.state._replace(map=st)
-                self.map_version += 1
+        # NO spill page-in here (unlike _ready_old_cache): this runs at
+        # DISPATCH time, before the drain's headroom enforcement can make
+        # room, so a page-in here can fill the arena and drop creations
+        # (caught by tests/test_spill.py). The chain START (candidate
+        # search) goes through old_view at lag 0 and pages the old map in
+        # there; during a chain the anchor stays near the vehicle, whose
+        # surroundings the spiller never evicts (keep radius).
         return self._verify_cache.view_for(view_pose, timestamp,
                                            self.map_version)
 

@@ -140,3 +140,32 @@ def test_loop_closes_circle_pipelined():
     rel_gt = np.linalg.inv(gt[0]) @ gt[n - 1]
     err = np.linalg.norm(est[n - 1][:3, 3] - rel_gt[:3, 3])
     assert err < 1.0, err
+
+
+@pytest.mark.slow
+def test_loop_closes_circle_sync_hybrid():
+    """The r4 hybrid protocol (pipelined_verification=False): chain-live
+    scans drain to synchronous execution with the speculative pre_dispatch
+    + drain-time fused verification. Still a supported configuration (and
+    the semantics oracle for the pipelined path)."""
+    from dataclasses import replace
+    cfg = loop_cfg()
+    cfg = cfg.replace(loop=replace(cfg.loop, pipelined_verification=False,
+                                   async_optimize=False))
+    n = 75
+    reader = SimulationReader(cfg.data, n_scans=n, radius=16.0, step=1.6,
+                              noise_sigma=0.03, seed=2)
+    slam = SurfelSLAM(cfg)
+    assert not slam._loop.pipelined_ok
+    for i in range(n):
+        s = reader.read(i)
+        slam.process_scan_async(s.points, s.labels, s.probs, s.valid)
+    slam.flush()
+    lc = slam._loop
+    assert lc.num_loop_closures >= 1
+    assert lc.num_optimizations >= 1
+    est = slam.trajectory()
+    gt = np.asarray(reader.poses)
+    rel_gt = np.linalg.inv(gt[0]) @ gt[n - 1]
+    err = np.linalg.norm(est[n - 1][:3, 3] - rel_gt[:3, 3])
+    assert err < 1.0, err

@@ -202,3 +202,66 @@ def test_index_map_identifies_nearest():
     rows, cols = np.nonzero(covered)
     assert (np.abs(px - cols) <= 1).mean() > 0.99
     assert (np.abs(py - rows) <= 1).mean() > 0.99
+
+
+@pytest.mark.slow
+def test_fused_render_selection_vs_exact_two_pass():
+    """The fused per-scan render selects winners on PRE-update geometry
+    and winner-decrease-free confidence (surfel_map.fuse_and_render's
+    documented approximation of the reference's two full rasterizations,
+    gen_indexmap + render_surfels). Oracle: a true SECOND render over the
+    post-update state (render_maps). The view must hold the whole local
+    map — with an undersized view the two paths page different blocks and
+    the comparison measures view overflow, not selection (measured 70%
+    agreement undersized vs 99.2% full-map at 48x360).
+
+    Measured at this class of operating point: ~99% valid-mask agreement;
+    disagreeing pixels sit at depth discontinuities where either
+    candidate is a legitimate surface (median |dv| = 0)."""
+    import numpy as np
+    from semantic_suma_tpu.config import (DataConfig, IcpConfig, MapConfig,
+                                          SumaConfig)
+    from semantic_suma_tpu.core.pipeline import SurfelSLAM, preprocess_scan
+    from semantic_suma_tpu.io.simulation import SimulationReader
+
+    d = DataConfig(width=240, height=32)
+    mc = MapConfig(surfel_capacity=1 << 16, active_capacity=1 << 16,
+                   max_poses=128)
+    cfg = SumaConfig(data=d, model=d, icp=IcpConfig(max_iterations=8),
+                     map=mc)
+    n = 12
+    reader = SimulationReader(cfg.data, n_scans=n + 1, radius=16.0,
+                              step=1.2, noise_sigma=0.02, seed=6)
+    slam = SurfelSLAM(cfg, enable_loop_closure=False)
+    for i in range(n):
+        s = reader.read(i)
+        slam.process_scan(s.points, s.labels, s.probs, s.valid)
+
+    s = reader.read(n)
+    maps = preprocess_scan(jnp.asarray(s.points), jnp.asarray(s.labels),
+                           jnp.asarray(s.probs), jnp.asarray(s.valid),
+                           jnp.asarray(False), cfg)
+    frame = sm.data_surfel_init(maps, cfg.data, cfg.map)
+    pose = jnp.asarray(np.asarray(reader.poses)[n], jnp.float32)
+    ts = slam.state.timestamp
+    conf = jnp.asarray(slam.confidence_threshold(), jnp.float32)
+    thr = jnp.asarray(int(ts) + 1 - cfg.loop.delta_timestamp, jnp.int32)
+    state2, fused, _, _ = sm.fuse_and_render(
+        slam.state.map, frame, pose, ts, cfg.data, cfg.map, conf, thr, True)
+    exact = sm.render_maps(state2, pose, cfg.model, cfg.map, conf, thr,
+                           render_old=False)
+
+    fv = np.asarray(fused.vertex_valid)
+    ev = np.asarray(exact.vertex_valid)
+    agree = float((fv == ev).mean())
+    assert agree > 0.97, agree
+    # the one-extra-scan direction: fused may render winner-losers once
+    # more; the exact pass must not see much the fused pass missed
+    assert (ev & ~fv).sum() <= 0.01 * fv.size, (ev & ~fv).sum()
+    both = fv & ev
+    dd = np.linalg.norm(np.asarray(fused.vertex)
+                        - np.asarray(exact.vertex), axis=-1)[both]
+    assert float(np.median(dd)) < 1e-3
+    # disagreeing pixels are depth-discontinuity candidate flips, bounded
+    # in frequency
+    assert float((dd > 0.05).mean()) < 0.15, float((dd > 0.05).mean())
