@@ -15,7 +15,7 @@ model co-resident with the SLAM engine on the same chips:
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, NamedTuple
 
 import jax
@@ -25,7 +25,7 @@ import optax
 
 from ..config import DataConfig
 from ..ops.projection import project_scan
-from .labels import TRAIN_CLASSES, raw_to_train
+from .labels import raw_to_train
 from .rangenet import RangeNet, labels_for_points, make_input, small_rangenet
 
 

@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..config import DataConfig, PreprocessConfig
+
 
 
 def _shift_x(a: jnp.ndarray, off: int) -> jnp.ndarray:

@@ -30,7 +30,7 @@ virtual CPU mesh used in tests.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ so long sequences can stop/resume and maps can be archived or inspected.
 
 from __future__ import annotations
 
-import io
+
 import json
 import pickle
 from typing import Optional
@@ -205,7 +205,7 @@ def load_checkpoint_sharded(path: str, cfg, mesh, axis: str = "map",
 
 def load_checkpoint(path: str, cfg, enable_loop_closure: Optional[bool] = None):
     """Restore a SurfelSLAM session saved by :func:`save_checkpoint`."""
-    from ..core.pipeline import SurfelSLAM, init_state
+    from ..core.pipeline import SurfelSLAM
 
     data = np.load(path, allow_pickle=False)
     slam = SurfelSLAM(cfg, enable_loop_closure=enable_loop_closure)
