@@ -72,6 +72,7 @@ def test_cli_stats_jsonl_and_cloud_ply(tmp_path, capsys):
     assert n > 100
 
 
+@pytest.mark.xdist_group("sharded8")
 def test_cli_sharded_run_checkpoint_resume(tmp_path):
     """Sharded CLI run on the 8-virtual-device CPU mesh with a
     --save-checkpoint / --resume round trip (VERDICT r4 weak #7)."""

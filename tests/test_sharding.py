@@ -16,8 +16,11 @@ from semantic_suma_tpu.models import rangenet as rn
 from semantic_suma_tpu.models.segmenter import create_train_state
 from semantic_suma_tpu.parallel import sharding as sh
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+    pytest.mark.xdist_group("sharded8"),
+]
 
 
 def small_cfg():
