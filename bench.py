@@ -180,6 +180,13 @@ def main():
               for i in range(n_lap + n_timed)]
     jax.block_until_ready(scans2[-1].points)
     loop_slam = SurfelSLAM(loop_cfg)
+    # Warm the loop-phase programs (fused search/verify, pose-graph tiers,
+    # rebase) BEFORE the laps, like cli.py does. Lap 1 alone is not enough
+    # when the persistent compile cache is cold or host-mismatched (CPU AOT
+    # entries from another machine force recompiles): without this, the
+    # first run of a session pays multi-second compiles inside the timed
+    # lap and reports ~5 scans/s instead of the steady ~45.
+    loop_slam._loop.warmup(loop_slam)
     for i in range(n_lap):
         loop_slam.process_scan_async(
             scans2[i].points, scans2[i].labels, scans2[i].probs,
