@@ -48,7 +48,7 @@ def main(warm=False):
         if i == n_lap - 1 or i == n_lap + n_timed - 1:
             slam.flush()
         times.append(time.perf_counter() - t0)
-        if times[-1] > 0.05 and i >= n_lap:
+        if times[-1] > 0.018 and i >= n_lap:
             per_scan_stages[i] = {
                 k: v.total - before.get(k, 0.0)
                 for k, v in slam.stopwatch.stats.items()

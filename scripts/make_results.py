@@ -101,9 +101,12 @@ def main():
     rows = {}
 
     with tempfile.TemporaryDirectory() as td:
-        # 1. plain odometry
+        # 1. plain odometry (with the devkit per-length/per-speed error
+        # breakdown — the reference's saveErrorPlots tl/rl/ts/rs outputs,
+        # kitti_utils.cpp:149-191; VERDICT r4 #7)
         out, _ = run_cli(["run", "--synthetic", str(n_odo),
-                          "--no-loop-closure", "--eval"])
+                          "--no-loop-closure", "--eval",
+                          "--eval-breakdown"])
         m = last_json(out)
         rows["odometry"] = {"scans": n_odo, **m, "scans_per_sec":
                             scans_per_sec(out)}
@@ -167,6 +170,24 @@ def main():
                              "val_miou": round(miou, 3) if miou else None,
                              "scans_per_sec": scans_per_sec(out),
                              **last_json(out)}
+
+        # 4b. full darknet53 in the loop, when its trained weights are
+        # versioned (weights/segmenter_synth_full.pkl) — validates the
+        # reference's actual backbone depth (RangenetAPI.cpp:13-17)
+        wfull = os.path.join(REPO, "weights", "segmenter_synth_full.pkl")
+        if os.path.exists(wfull) and not args.quick:
+            miou_f = None
+            if os.path.exists(wfull + ".json"):
+                miou_f = json.load(open(wfull + ".json")).get("val_miou")
+            out, _ = run_cli(["run", "--synthetic", str(n_odo),
+                              "--movable-fraction", "0.3",
+                              "--segmenter-weights", wfull,
+                              "--no-loop-closure", "--eval"])
+            rows["segmenter-full"] = {
+                "scans": n_odo,
+                "val_miou": round(miou_f, 3) if miou_f else None,
+                "scans_per_sec": scans_per_sec(out),
+                **last_json(out)}
 
         # 5. sharded driver accuracy (8-virtual-device CPU mesh): the same
         # odometry workload through ShardedSurfelSLAM so sharded-vs-single
@@ -236,6 +257,8 @@ def main():
         extra = ""
         if "val_miou" in r:
             extra = f"mIoU={r['val_miou']}"
+            if r.get("scans_per_sec"):
+                extra += f", {r['scans_per_sec']:.1f} scans/s"
         if name == "odometry" and r.get("scans_per_sec"):
             extra = f"{r['scans_per_sec']:.1f} scans/s"
         if name == "loop":
@@ -248,6 +271,20 @@ def main():
             f"| {fmt(r.get('t_rel_percent', float('nan')))} "
             f"| {fmt(r.get('r_rel_deg_per_100m', float('nan')))} "
             f"| {fmt(r.get('final_error_m', float('nan')))} | {extra} |")
+
+    # devkit per-segment-length / per-speed breakdown (odometry run) —
+    # the reference devkit's saveErrorPlots tl/rl/ts/rs tables
+    odo = rows.get("odometry", {})
+    if odo.get("by_length"):
+        lines += ["", "Devkit breakdown (odometry run):", "",
+                  "| segment | t_rel (%) | r_rel (deg/100m) | n |",
+                  "|---|---|---|---|"]
+        for key, e in odo["by_length"].items():
+            lines.append(f"| {key} | {e['t_rel_percent']:.4f} "
+                         f"| {e['r_rel_deg_per_100m']:.4f} | {e['count']} |")
+        for key, e in odo.get("by_speed", {}).items():
+            lines.append(f"| {key} | {e['t_rel_percent']:.4f} "
+                         f"| {e['r_rel_deg_per_100m']:.4f} | {e['count']} |")
 
     header = ("# RESULTS — accuracy ledger (synthetic raycast world)\n\n"
               "Round-over-round record of trajectory accuracy at the flagship "

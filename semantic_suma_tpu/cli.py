@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -305,7 +306,6 @@ def cmd_run(args) -> int:
         save_cloud_ply(args.save_cloud, accum.world_cloud(max_points=2_000_000))
 
     if args.plot_dir:
-        import os
         from .utils import viz
         os.makedirs(args.plot_dir, exist_ok=True)
         loops = [i for i, s_ in enumerate(slam.statistics)
@@ -322,6 +322,11 @@ def cmd_run(args) -> int:
     if args.eval and gt is not None:
         res = metrics.evaluate(np.asarray(gt), est,
                                breakdown=args.eval_breakdown)
+        if args.eval_breakdown and args.plot_dir:
+            from .utils import viz
+            viz.plot_error_breakdown(
+                res["by_length"], res["by_speed"],
+                path=os.path.join(args.plot_dir, "errors.png"))
         print(json.dumps(res, indent=2))
     return 0
 
@@ -332,9 +337,17 @@ def cmd_eval(args) -> int:
     tr = parse_calib(args.calib).get("Tr") if args.calib else None
     gt = load_poses(args.gt, tr)
     est = load_poses(args.est, tr)
-    print(json.dumps(metrics.evaluate(gt, est,
-                                      breakdown=args.eval_breakdown),
-                     indent=2))
+    res = metrics.evaluate(gt, est, breakdown=args.eval_breakdown)
+    if args.plot_dir:
+        from .utils import viz
+        os.makedirs(args.plot_dir, exist_ok=True)
+        viz.plot_trajectory(est, gt,
+                            path=os.path.join(args.plot_dir, "traj.png"))
+        if args.eval_breakdown:
+            viz.plot_error_breakdown(
+                res["by_length"], res["by_speed"],
+                path=os.path.join(args.plot_dir, "errors.png"))
+    print(json.dumps(res, indent=2))
     return 0
 
 
@@ -424,6 +437,9 @@ def main(argv=None) -> int:
     evalp.add_argument("--gt", required=True)
     evalp.add_argument("--est", required=True)
     evalp.add_argument("--calib")
+    evalp.add_argument("--plot-dir",
+                       help="write devkit path/error plots (the reference's "
+                            "savePathPlot/saveErrorPlots outputs) here")
     evalp.add_argument("--eval-breakdown", action="store_true",
                        help="add per-segment-length / per-speed tables")
     evalp.set_defaults(fn=cmd_eval)

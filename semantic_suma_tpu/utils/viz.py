@@ -66,6 +66,41 @@ def plot_statistics(statistics: list[dict], keys: Sequence[str] = (
     plt.close(fig)
 
 
+def plot_error_breakdown(by_length: dict, by_speed: dict,
+                         path: str = "errors.png") -> None:
+    """Devkit error plots: t_rel / r_rel vs segment length and vs speed
+    (the reference devkit's saveErrorPlots tl/rl/ts/rs gnuplot outputs,
+    kitti_utils.cpp:149-191), as four small-multiple panels. Input dicts
+    come from ``metrics.evaluate(..., breakdown=True)``.
+
+    One metric per panel (no dual axes — t_rel %% and r_rel deg/100m are
+    different scales); each metric keeps one hue across both rows."""
+    plt = _plt()
+    t_hue, r_hue = "#3B5FC0", "#B04A3E"  # t_rel blue, r_rel red-brown
+    rows = [("segment length", by_length), ("speed bucket", by_speed)]
+    fig, axes = plt.subplots(2, 2, figsize=(10, 6))
+    for r, (xlabel, table) in enumerate(rows):
+        keys = list(table.keys())
+        x = np.arange(len(keys))
+        for c, (field, label, hue) in enumerate(
+                (("t_rel_percent", "t_rel [%]", t_hue),
+                 ("r_rel_deg_per_100m", "r_rel [deg/100m]", r_hue))):
+            ax = axes[r][c]
+            y = [table[k][field] for k in keys]
+            ax.plot(x, y, "-o", color=hue, lw=2, ms=5)
+            ax.set_xticks(x, keys, fontsize=7, rotation=30)
+            ax.set_ylabel(label, fontsize=8)
+            ax.set_xlabel(xlabel, fontsize=8)
+            ax.grid(alpha=0.3)
+            if not keys:
+                ax.text(0.5, 0.5, "no segments", ha="center", va="center",
+                        transform=ax.transAxes, color="0.5")
+    fig.suptitle("KITTI-devkit segment errors")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def save_map_images(maps, prefix: str = "frame") -> list[str]:
     """Dump depth / normal / semantic map images of a Maps pytree (the
     renderMaps texture dump, VisualizerWindow.cpp:815-840)."""

@@ -124,3 +124,47 @@ def test_devkit_breakdown_tables():
     assert abs(bs["10-12m/s"]["t_rel_percent"] - 1.0) < 0.1
     # totals match the flat average
     assert abs(res["t_rel_percent"] - 1.0) < 0.1
+
+
+def test_error_breakdown_plot(tmp_path):
+    """plot_error_breakdown renders the devkit tl/rl/ts/rs panels
+    (kitti_utils.cpp:149-191 saveErrorPlots analogue) to a PNG."""
+    import numpy as np
+    from semantic_suma_tpu.utils import metrics, viz
+
+    n = 400
+    gt = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    est = gt.copy()
+    for i in range(n):
+        gt[i, 0, 3] = i * 1.0
+        est[i, 0, 3] = i * 1.0
+        est[i, 1, 3] = i * 0.01
+    res = metrics.evaluate(gt, est, breakdown=True)
+    out = tmp_path / "errors.png"
+    viz.plot_error_breakdown(res["by_length"], res["by_speed"],
+                             path=str(out))
+    assert out.exists() and out.stat().st_size > 5000
+
+
+def test_eval_cli_plot_dir(tmp_path):
+    """eval subcommand: --plot-dir writes the devkit path + error plots
+    alongside the JSON metrics."""
+    import numpy as np
+    from semantic_suma_tpu.cli import main
+    from semantic_suma_tpu.io.kitti import save_poses
+
+    n = 150
+    gt = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    est = gt.copy()
+    for i in range(n):
+        gt[i, 0, 3] = i * 1.0
+        est[i, 0, 3] = i * 1.0
+        est[i, 2, 3] = i * 0.005
+    gt_f, est_f = tmp_path / "gt.txt", tmp_path / "est.txt"
+    save_poses(str(gt_f), gt)
+    save_poses(str(est_f), est)
+    pd = tmp_path / "plots"
+    assert main(["--cpu", "eval", "--gt", str(gt_f), "--est", str(est_f),
+                 "--eval-breakdown", "--plot-dir", str(pd)]) == 0
+    assert (pd / "traj.png").exists()
+    assert (pd / "errors.png").exists()
