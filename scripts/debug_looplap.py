@@ -63,6 +63,7 @@ def main(warm=False):
     for i in worst:
         print(f"  scan {n_lap+i}: {lap2[i]*1e3:8.1f} ms", file=sys.stderr)
     print(f"  median {sorted(lap2)[len(lap2)//2]*1e3:.1f} ms", file=sys.stderr)
+    print(slam.stopwatch.report(), file=sys.stderr)
     for i, st in per_scan_stages.items():
         pretty = ", ".join(f"{k}={v*1e3:.1f}ms" for k, v in
                            sorted(st.items(), key=lambda kv: -kv[1]))

@@ -305,6 +305,22 @@ class LoopCloser:
             slam.state = slam.state._replace(
                 map=slam._jit_compact(slam.state.map))
             slam.map_version += 1
+        # spill futile-probe program: its ~1.4 s compile is UNDER the 2 s
+        # persistent-cache threshold, so it recompiles per process — warm
+        # it here or it lands mid-lap on the first arena-pressure scan
+        if getattr(slam, "spill", None) is not None:
+            from .spill import _score_blocks
+            np.asarray(_score_blocks(slam.state.map,
+                                     jnp.zeros(3, jnp.float32),
+                                     slam.spill.cfg))
+        # composed-tracking fallback path (lag-0 sync re-entry): the
+        # standalone old render + compose programs otherwise cache-load
+        # (~0.3 s) at the first mid-lap sync event — measured as a single
+        # ~300 ms scan in an otherwise ~12 ms/scan verification window
+        if hasattr(slam, "render_old_maps"):
+            old_maps = slam.render_old_maps(eye)
+            _compose_jit(old_maps, maps,
+                         self.cfg.loop.max_loop_closure_distance)
         # the identity-centered view caches are stale the moment the
         # vehicle is >8 m from the origin; drop them so the first real
         # verification builds fresh ones
@@ -565,6 +581,15 @@ class LoopCloser:
         """
         import time as _time
         t_loop0 = _time.perf_counter()
+        sw = getattr(slam, "stopwatch", None)
+        _mark = [t_loop0]
+
+        def _lap(label):
+            if sw is not None:
+                t = _time.perf_counter()
+                sw.record(label, t - _mark[0])
+                _mark[0] = t
+
         cfg = self.cfg.loop
         ts = slam.timestamp - 1  # index of the scan just processed
         stats: dict = {}
@@ -591,6 +616,7 @@ class LoopCloser:
 
         vr_new, or_new, res_new = self._ratios(info.stats)
 
+        _lap("loop/bookkeep")
         # ---- phase A: verify pending candidates --------------------------
         self._last_comp = None
         qvec = None
@@ -703,6 +729,7 @@ class LoopCloser:
             self.unverified.clear()
             self.already_verified = True
 
+        _lap("loop/verify")
         # ---- add verified edges ------------------------------------------
         last_from = -1
         for cand in self.verified:
@@ -714,6 +741,7 @@ class LoopCloser:
                                     self._info, robust=True)
         self.verified.clear()
 
+        _lap("loop/edges")
         # ---- optimize ----------------------------------------------------
         # async (default): clone the graph and solve on a background host
         # thread, integrating the result on a later scan — the reference's
@@ -728,6 +756,7 @@ class LoopCloser:
             else:
                 self._optimize_and_rebase(slam)
 
+        _lap("loop/opt")
         # ---- phase C: search a new candidate -----------------------------
         if self.time_without_loop > 3:
             self.unverified.clear()
@@ -745,6 +774,7 @@ class LoopCloser:
                                                res_new)
                 stats["loop-candidate-found"] = found
 
+        _lap("loop/search")
         # ---- composed old/new tracking while a candidate is live ---------
         # The reference renders the model view for the NEXT scan's ICP as
         # the composed old+new map whenever a loop candidate is active
@@ -764,6 +794,7 @@ class LoopCloser:
                     old_maps, slam.model_maps,
                     cfg.max_loop_closure_distance))
 
+        _lap("loop/compose")
         self.sync_request = deferred
         stats["loop-count"] = self.loop_count
         stats["loop-closures"] = self.num_loop_closures

@@ -446,11 +446,17 @@ class SurfelSLAM:
             return self.old_view(view_pose, timestamp)
         if getattr(self, "_verify_cache", None) is None:
             from .loop_closure import OldMapRenderCache
+            # wider motion bound than the full cache: the verify view is
+            # rendered through the verification gates (which tolerate the
+            # extra staleness), and each rebuild stalls the chained
+            # verify wait by ~10 ms — measured every ~4 scans at 8 m on
+            # the continuous-revisit lap
             self._verify_cache = OldMapRenderCache(
                 build_view=lambda center, thr: self._jit_verify_view(
                     self.state.map, center, thr),
                 render_view=self._jit_old_render,
-                delta_timestamp=self.cfg.loop.delta_timestamp)
+                delta_timestamp=self.cfg.loop.delta_timestamp,
+                motion_bound=12.0)
         # NO spill page-in here (unlike _ready_old_cache): this runs at
         # DISPATCH time, before the drain's headroom enforcement can make
         # room, so a page-in here can fill the arena and drop creations
@@ -616,6 +622,12 @@ class SurfelSLAM:
         # below-gate integration deferred the device rebase)
         info = info._replace(pose=self.frame_correction @ info.pose)
         lag = self._inflight()  # scans dispatched after this one
+        _t0 = [time.perf_counter()]
+
+        def _lap(label):
+            t = time.perf_counter()
+            self.stopwatch.record(label, t - _t0[0])
+            _t0[0] = t
 
         # near-capacity policy: first page far blocks to host RAM (the
         # reference's SubmapCache), then fall back to stream compaction.
@@ -638,20 +650,32 @@ class SurfelSLAM:
             if st is not None:
                 self.state = self.state._replace(map=st)
                 self.map_version += 1
+            _lap("host/page-in")
             # the pressure predicate runs on the cached fetch; the actual
             # paging (rare) syncs internally — so a FUTILE attempt (under
             # pressure but nothing beyond the keep radius) must not repeat
             # every scan: retry only after the arena grew by a chunk
             if (free_rows < headroom or n_dropped) \
                     and info.block_count >= self._spill_retry_blocks:
+                # the async futile-probe only pays when scans are in
+                # flight (its fetch hides behind them); synchronous
+                # driving (lag 0) keeps the immediate scoring path, and
+                # active dropping always reclaims NOW
                 st = self.spill.maybe_spill(self.state.map, pose[:3, 3],
-                                            headroom_rows=headroom)
+                                            headroom_rows=headroom,
+                                            async_probe=(not n_dropped
+                                                         and lag > 0))
                 if st is not None:
                     self.state = self.state._replace(map=st)
                     self.map_version += 1
                     self._spill_retry_blocks = 0
                     spilled = True  # maybe_spill compacts internally
-                else:
+                    _lap("host/spill-out")
+                elif not self.spill.probe_pending:
+                    # futile verdict (probe or sync path): don't re-score
+                    # until the arena grows a chunk. While the async probe
+                    # is in flight, leave the threshold unarmed so the
+                    # verdict is read next scan.
                     self._spill_retry_blocks = (info.block_count
                                                 + self.spill.chunk_blocks)
         if not spilled and (info.map_count + (1 + lag) * hw > cap
@@ -659,6 +683,7 @@ class SurfelSLAM:
             self.state = self.state._replace(
                 map=self._jit_compact(self.state.map))
             self.map_version += 1
+        _lap("host/spill-compact")
         self.poses.append(pose)
         if len(self.poses) > 1:
             self.trajectory_distances.append(
@@ -679,6 +704,7 @@ class SurfelSLAM:
             "creations-dropped": n_dropped,
         }
 
+        _lap("host/bookkeep")
         if self._loop is not None:
             loop_stats = self._loop.on_scan(self, info,
                                             lag=self._inflight())

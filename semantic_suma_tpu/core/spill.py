@@ -49,6 +49,20 @@ def _sync_and_score(state: sm.MapState, center: jnp.ndarray, cfg: MapConfig):
     return state, dmin
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _score_blocks(state: sm.MapState, center: jnp.ndarray, cfg: MapConfig):
+    """Per-block min distance to ``center`` over valid ARENA rows [NB]
+    (inf where empty) WITHOUT the view writeback. Active blocks' arena
+    copies are stale, but spill eligibility masks them out anyway — this
+    is the cheap async PROBE that detects futile spill attempts (nothing
+    beyond the keep radius) without the ~0.25 s sync+blocking-fetch a
+    full ``_sync_and_score`` costs on the remote tunnel."""
+    bs, nb, _, _ = _geometry(cfg)
+    d = state.data
+    dist = jnp.linalg.norm(d.wpos.reshape(nb, bs, 3) - center, axis=-1)
+    return jnp.min(jnp.where(d.valid.reshape(nb, bs), dist, jnp.inf), axis=1)
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_blocks"))
 def _extract_blocks(state: sm.MapState, ids: jnp.ndarray, cfg: MapConfig,
                     n_blocks: int):
@@ -138,6 +152,7 @@ class SpillManager:
         self.chunks: List[SpillChunk] = []
         self.chunks_paged_in = 0
         self._bs, self._nb, self._k = bs, nb, k
+        self._probe = None  # in-flight async eligibility probe
 
     @property
     def spilled_rows(self) -> int:
@@ -149,23 +164,62 @@ class SpillManager:
 
     # -- spilling ----------------------------------------------------------
 
+    @property
+    def probe_pending(self) -> bool:
+        """True while an async eligibility probe is in flight — the caller
+        must NOT arm its futile-retry threshold yet (the verdict arrives
+        on the next ``maybe_spill`` call)."""
+        return self._probe is not None
+
     def maybe_spill(self, state: sm.MapState, center: np.ndarray,
-                    headroom_rows: int) -> Optional[sm.MapState]:
+                    headroom_rows: int,
+                    async_probe: bool = False) -> Optional[sm.MapState]:
         """If fewer than ``headroom_rows`` free rows remain, evict far
         blocks to host RAM and compact. Returns the new state, or None if
-        nothing was done (state untouched)."""
+        nothing was done (state untouched).
+
+        With ``async_probe`` (the pipelined driver, unless creations are
+        already dropping), the under-pressure-but-futile case (nothing
+        beyond the keep radius — the loiter regime) is detected via a
+        cheap ASYNC probe: the first pressured call dispatches
+        ``_score_blocks`` and returns None with ``probe_pending`` set; the
+        next call reads the (by then materialized) result without
+        blocking. Only a non-futile verdict pays the synchronous
+        sync+score+extract path — a futile attempt used to cost ~0.25 s
+        of blocked pipeline on the remote tunnel."""
         cfg = self.cfg
         bs, nb = self._bs, self._nb
         free_rows = cfg.surfel_capacity - int(state.block_count) * bs
         if free_rows >= headroom_rows:
+            self._probe = None
             return None
 
+        keep_radius = cfg.active_radius + self.spill_margin
+        if async_probe:
+            if self._probe is None:
+                # dispatch the probe; verdict next call
+                p = _score_blocks(state, jnp.asarray(center, jnp.float32),
+                                  cfg)
+                try:
+                    p.copy_to_host_async()
+                except AttributeError:  # pragma: no cover
+                    pass
+                self._probe = p
+                return None
+            # probe result is a BOOLEAN hint only (block ids may have
+            # been renumbered by a compaction since dispatch); the real
+            # path below re-scores on the current state
+            pd = np.asarray(self._probe)
+            self._probe = None
+            if not (np.isfinite(pd) & (pd > keep_radius)).any():
+                return None  # futile — caller arms its retry threshold
+
+        self._probe = None  # any outstanding probe is superseded
         state, dmin = _sync_and_score(state, jnp.asarray(center, jnp.float32),
                                       cfg)
         dmin = np.asarray(dmin)
         in_view = np.zeros(nb + self._k, bool)
         in_view[np.asarray(state.active_blocks)] = True
-        keep_radius = cfg.active_radius + self.spill_margin
         eligible = np.where(np.isfinite(dmin) & (dmin > keep_radius)
                             & ~in_view[:nb])[0]
         if eligible.size == 0:

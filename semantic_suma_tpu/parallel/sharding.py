@@ -589,6 +589,9 @@ class ShardedSurfelSLAM:
         if pressure:
             if self.spill is not None:
                 for d in self._my_shards():
+                    # synchronous scoring path (default): no remote-tunnel
+                    # fetch to hide here, and no futile-retry threshold to
+                    # interact with an async probe
                     st = self.spill[d].maybe_spill(
                         self._local_shard(d), pos3, headroom_rows=headroom)
                     if st is not None:

@@ -212,3 +212,46 @@ def test_sharded_spill_matches_single_chip():
     est_1 = sl_1.trajectory()
     err = np.linalg.norm(est_sh[-1][:3, 3] - est_1[-1][:3, 3])
     assert err < 0.15, err
+
+
+def test_async_probe_protocol():
+    """maybe_spill(async_probe=True): under pressure the first call
+    dispatches a probe (None, probe_pending), the second reads its
+    verdict — futile when nothing lies beyond the keep radius (None,
+    threshold-armable), spilling when something does."""
+    world = default_world(seed=0)
+    state = sm.empty_map(MCFG)
+    state = ingest(state, render_scan(world, pose_at(0.0), CFG),
+                   pose_at(0.0), 0)
+    state = ingest(state, render_scan(world, pose_at(40.0), CFG),
+                   pose_at(40.0), 1)
+    state = sm.sync(state, MCFG)
+    mgr = sp.SpillManager(MCFG, chunk_blocks=4, spill_margin=6.0)
+
+    # futile-ish probe cannot fire with geometry beyond keep radius, so
+    # exercise the futile verdict with an impossible keep radius instead
+    mgr_futile = sp.SpillManager(MCFG, chunk_blocks=4, spill_margin=1e6)
+    center = np.array([0.0, 0, 0], np.float32)
+    assert mgr_futile.maybe_spill(state, center,
+                                  headroom_rows=MCFG.surfel_capacity,
+                                  async_probe=True) is None
+    assert mgr_futile.probe_pending
+    assert mgr_futile.maybe_spill(state, center,
+                                  headroom_rows=MCFG.surfel_capacity,
+                                  async_probe=True) is None
+    assert not mgr_futile.probe_pending  # futile verdict delivered
+    assert not mgr_futile.chunks
+    # non-futile: far center -> probe verdict leads to a real spill
+    far = np.array([40.0, 0, 0], np.float32)
+    assert mgr.maybe_spill(state, far, headroom_rows=MCFG.surfel_capacity,
+                           async_probe=True) is None
+    assert mgr.probe_pending
+    st = mgr.maybe_spill(state, far, headroom_rows=MCFG.surfel_capacity,
+                         async_probe=True)
+    assert st is not None and mgr.spilled_rows > 0
+    assert not mgr.probe_pending
+
+    # no pressure: probe state clears
+    assert mgr.maybe_spill(st, far, headroom_rows=1,
+                           async_probe=True) is None
+    assert not mgr.probe_pending
