@@ -109,7 +109,13 @@ class OldMapRenderCache:
     def view_for(self, view_pose, timestamp: int, map_version: int):
         """Device view (active subset) covering ``view_pose``, rebuilt on
         staleness; returns (view, ts_threshold). Lets fused verification
-        programs render from the cached view without a host round trip."""
+        programs render from the cached view without a host round trip.
+
+        (A predictive variant — dispatch the successor view at 3/4 of the
+        motion bound so the rebuild overlaps in-flight work — measured
+        NEUTRAL on the continuous-revisit lap, 66.9 vs 68.6 scans/s
+        run-to-run variance: the periodic verify stalls are not
+        rebuild-bound at the 12 m bound. Kept out for simplicity.)"""
         pose = np.asarray(view_pose, np.float32)
         thr = timestamp - self.delta_timestamp
         stale = (self._view is None
