@@ -22,9 +22,12 @@ def main(warm=False):
                                    active_capacity=1 << 18,
                                    min_fresh_rows=2 * 64 * 900,
                                    max_poses=8192))
+    import os as _os
+    vvf = float(_os.environ.get("VVF", "0.5"))
     loop_cfg = cfg.replace(loop=_rp(
         cfg.loop, min_trajectory_distance=60.0, delta_timestamp=20,
-        search_distance=20.0, min_verifications=3, outlier_threshold=6.0))
+        search_distance=20.0, min_verifications=3, outlier_threshold=6.0,
+        verify_view_fraction=vvf))
     n_lap, n_timed = 64, 60
     world = default_world(seed=0, extent=45.0)
     gt2 = circular_trajectory(n_lap + n_timed, radius=18.0, step=1.8)

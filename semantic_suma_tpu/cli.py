@@ -252,6 +252,8 @@ def cmd_run(args) -> int:
             slam.process_scan(pts, labels, probs, valid)
     if use_async:
         slam.flush()
+    if hasattr(slam, "finalize"):
+        slam.finalize()  # final pose-graph solve over ALL edges
     wall = time.perf_counter() - t0
     n_done = count - start
     est = slam.trajectory()

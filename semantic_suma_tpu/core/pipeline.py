@@ -794,5 +794,24 @@ class SurfelSLAM:
             self._loop.integrate(self)
         return out
 
+    def finalize(self):
+        """End-of-sequence: drain, then run one FINAL pose-graph solve
+        over every accumulated edge and integrate it, so the exported
+        trajectory reflects ALL loop closures — mid-run the solver only
+        launches every ~7 closures, leaving the edges since the last
+        launch unsolved (the reference's exported posegraph likewise
+        contains every verified factor, Posegraph.cpp:90-104). Safe to
+        call multiple times; not called from the per-scan path (flush is
+        — and a solve per sync-drain would be wasted work)."""
+        out = self.flush()
+        lp = self._loop
+        if lp is not None and len(lp.posegraph._edges) > self.timestamp - 1:
+            # loop edges exist beyond the odometry chain: solve them all
+            lp._launch_optimize()
+            if lp._opt_future is not None:
+                lp._opt_future.result()
+                lp.integrate(self)
+        return out
+
     def trajectory(self) -> np.ndarray:
         return np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))
