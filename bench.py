@@ -171,9 +171,15 @@ def main():
     # the timed lap 2 is a continuous-revisit regime — every scan runs
     # verification + frequent graph optimizations + rebases, the WORST
     # case for loop overhead (KITTI-like sequences mostly cruise).
-    loop_cfg = cfg.replace(loop=_rp(
-        cfg.loop, min_trajectory_distance=60.0, delta_timestamp=20,
-        search_distance=20.0, min_verifications=3, outlier_threshold=6.0))
+    # loops-on sizing matches cli.build_config: 1.5-image fresh region
+    # (a 2-image one clips the rendered model periphery and costs
+    # 0.8 deg/100m of r_rel through verification ICP — see cli.py)
+    loop_cfg = cfg.replace(
+        map=_rp(cfg.map, min_fresh_rows=64 * 900 + 64 * 900 // 2),
+        loop=_rp(
+            cfg.loop, min_trajectory_distance=60.0, delta_timestamp=20,
+            search_distance=20.0, min_verifications=3,
+            outlier_threshold=6.0))
     n_lap = 64  # one lap at radius 18, step 1.8
     gt2 = circular_trajectory(n_lap + n_timed, radius=18.0, step=1.8)
     scans2 = [jax.tree.map(lambda a: a.copy(), gen(gt2[i]))

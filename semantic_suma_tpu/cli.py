@@ -44,15 +44,25 @@ def build_config(args):
     if args.config:
         cfg = config_from_xml(args.config, cfg)
     # keep any XML-provided map parameters; only override capacities.
-    # min_fresh_rows = 2 full images matches the bench operating point: a
-    # 1-image fresh region forces a view refresh every few scans (the r4
-    # CLI ran ~2x slower than bench.py for exactly this reason)
+    # min_fresh_rows sizing (measured on the 140/150-scan ledger runs):
+    # a 1-image fresh region forces a view refresh every few scans (the
+    # r4 CLI ran ~2x slower than bench.py for exactly this reason); a
+    # 2-image region displaces enough map blocks from the active view to
+    # clip the rendered model periphery, which costs 0.8 deg/100m of
+    # r_rel through LOOP VERIFICATION ICP (the verify-view fraction is
+    # NOT the cause — 1.0 at 2-image fresh shows the same kink). Pure
+    # odometry barely notices the clip (ATE 0.0026 vs 0.0022) but loses
+    # 3.4x throughput at 1.5 images (refresh churn on the chunked
+    # path) — so: loops on -> 1.5 images (accuracy), loops off -> 2
+    # (throughput).
+    hw = cfg.data.height * cfg.data.width
+    loop_on = cfg.loop.enabled and not args.no_loop_closure
+    fresh = hw + hw // 2 if loop_on else 2 * hw
     cfg = cfg.replace(map=replace(
         cfg.map,
         surfel_capacity=args.surfel_capacity,
         active_capacity=args.active_capacity,
-        min_fresh_rows=min(2 * cfg.data.height * cfg.data.width,
-                           args.active_capacity // 2),
+        min_fresh_rows=min(fresh, args.active_capacity // 2),
         max_poses=max(8192, (args.max_scans or 8192))))
     if args.approach:
         cfg = cfg.replace(approach=args.approach)

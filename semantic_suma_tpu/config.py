@@ -200,15 +200,14 @@ class LoopClosureConfig:
     # fraction of the active view used for the VERIFICATION old view
     # (read-only, built around the loop site): the fused verify program
     # renders the old view twice per scan, and its sort/gather cost
-    # scales with view rows. 1.0 reproduces the full view (the
-    # candidate-SEARCH path always uses the full view; only the per-scan
-    # chained verification uses the reduced one). Measured on the
-    # 140-scan ledger lap: 0.5 costs 0.8 deg/100m of r_rel (the
-    # clipped periphery removes the long lever arms rotation needs)
-    # while 0.75 matches the full view's accuracy (r_rel 0.0,
-    # ATE 0.0058 vs 0.0041/0.0071 for 1.0/0.5) at ~the half view's
-    # speed — the default.
-    verify_view_fraction: float = 0.75
+    # scales with view rows — 0.5 halves it. 1.0 reproduces the full
+    # view (the candidate-SEARCH path always uses the full view; only
+    # the per-scan chained verification uses the reduced one). Measured
+    # accuracy-neutral on the 140-scan ledger lap (0.5/0.75/1.0 all
+    # r_rel 0.0 once the driver's fresh-region sizing is right — an
+    # early 0.8 deg/100m attribution to this knob was a confound with
+    # min_fresh_rows, see cli.build_config).
+    verify_view_fraction: float = 0.5
 
 
 @dataclass(frozen=True)

@@ -169,3 +169,41 @@ def test_loop_closes_circle_sync_hybrid():
     rel_gt = np.linalg.inv(gt[0]) @ gt[n - 1]
     err = np.linalg.norm(est[n - 1][:3, 3] - rel_gt[:3, 3])
     assert err < 1.0, err
+
+
+def test_finalize_solves_all_edges():
+    """SurfelSLAM.finalize(): the end-of-sequence graph solve covers the
+    loop edges added after the last mid-run optimize launch (the
+    reference's exported posegraph contains every verified factor), and
+    is idempotent / a no-op without loop edges."""
+    cfg = loop_cfg()
+    n = 75
+    reader = SimulationReader(cfg.data, n_scans=n, radius=16.0, step=1.6,
+                              noise_sigma=0.03, seed=2)
+    slam = SurfelSLAM(cfg)
+    for i in range(n):
+        s = reader.read(i)
+        slam.process_scan_async(s.points, s.labels, s.probs, s.valid)
+    slam.finalize()
+    lc = slam._loop
+    assert lc.num_loop_closures >= 1
+    # the final solve ran: no optimization left pending, and every edge
+    # (odometry chain + loop factors) is in the solved graph
+    assert lc._opt_future is None
+    assert len(lc.posegraph._edges) > slam.timestamp - 1
+    est = slam.trajectory()
+    assert np.isfinite(est).all()
+    gt = np.asarray(reader.poses)
+    rel_gt = np.linalg.inv(gt[0]) @ gt[n - 1]
+    assert np.linalg.norm(est[n - 1][:3, 3] - rel_gt[:3, 3]) < 1.0
+    # idempotent
+    slam.finalize()
+    assert np.isfinite(slam.trajectory()).all()
+
+    # no-loop run: finalize is a cheap no-op (no edges beyond odometry)
+    slam2 = SurfelSLAM(cfg, enable_loop_closure=False)
+    for i in range(10):
+        s = reader.read(i)
+        slam2.process_scan_async(s.points, s.labels, s.probs, s.valid)
+    slam2.finalize()
+    assert np.isfinite(slam2.trajectory()).all()
